@@ -1,0 +1,150 @@
+"""fastText-style language identification: hashed char-n-gram Naive Bayes.
+
+Fills the reference's ML-detector slot (embedding-centroid cosine similarity,
+``anomaly_detectors/ml_based/check_anomalies.py:98-151``) with the north
+star's langid scorer.  Same contract as the reference detector:
+
+* a per-document similarity-like score in [0,1] — here the model's posterior
+  probability of the *claimed* language,
+* anomaly iff ``score < threshold`` (reference default 0.6–0.7),
+* score→probability mapping ``1 - score`` clamped to [0,1] (the reference's
+  mapping at ``ml_anomaly_detector.py:144-152`` for the sim>=0 branch).
+
+Execution model: the weight matrix (n_langs × n_buckets, float32) is tiny
+(<1 MB), broadcast once, and scored inside one Arrow-batched pandas UDF —
+the model loads zero times per task because it lives in the UDF closure via
+the broadcast (mirrors the reference's class-level model cache,
+``ml_anomaly_detector.py:63-108``, without the cache invalidation pain).
+
+Everything is deterministic: training texts are seeded, feature hashing uses
+crc32 (never Python's salted ``hash``), training is closed-form counting
+(Naive Bayes), so retries/partitioning cannot change a verdict.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_BUCKETS = 2**14
+NGRAM_MIN, NGRAM_MAX = 1, 3
+
+LANGID_RESULT = T.StructType(
+    [
+        T.StructField("pred_lang", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),  # posterior of pred_lang
+        T.StructField("claimed_score", T.DoubleType()),  # posterior of claimed lang
+    ]
+)
+
+
+def _ngram_buckets(text: str) -> np.ndarray:
+    """Stable hashed char n-gram ids for one document."""
+    s = " " + text.lower()[:2000] + " "  # cap per-doc work; plenty of signal
+    out = []
+    for n in range(NGRAM_MIN, NGRAM_MAX + 1):
+        out.extend(
+            zlib.crc32(s[i : i + n].encode("utf-8", "ignore")) % N_BUCKETS
+            for i in range(len(s) - n + 1)
+        )
+    return np.asarray(out, dtype=np.int64)
+
+
+@dataclass
+class LangIdModel:
+    langs: list[str]
+    log_probs: np.ndarray  # (L, B) float32 — log P(bucket | lang), smoothed
+    log_priors: np.ndarray  # (L,)
+
+    def score_batch(self, texts: pd.Series, claimed: pd.Series) -> pd.DataFrame:
+        preds, confs, claimed_scores = [], [], []
+        lang_idx = {l: i for i, l in enumerate(self.langs)}
+        for text, cl in zip(texts, claimed):
+            if text is None or not isinstance(text, str) or text.strip() == "":
+                preds.append(None)
+                confs.append(None)
+                claimed_scores.append(None)
+                continue
+            b = _ngram_buckets(text)
+            counts = np.bincount(b, minlength=N_BUCKETS).astype(np.float32)
+            logp = self.log_priors + self.log_probs @ counts
+            logp -= logp.max()
+            post = np.exp(logp)
+            post /= post.sum()
+            k = int(post.argmax())
+            preds.append(self.langs[k])
+            confs.append(float(post[k]))
+            ci = lang_idx.get(cl)
+            claimed_scores.append(float(post[ci]) if ci is not None else 0.0)
+        return pd.DataFrame(
+            {"pred_lang": preds, "confidence": confs, "claimed_score": claimed_scores}
+        )
+
+    def to_npz(self, path: str) -> None:
+        np.savez_compressed(
+            path, langs=np.array(self.langs), log_probs=self.log_probs, log_priors=self.log_priors
+        )
+
+    @classmethod
+    def from_npz(cls, path: str) -> "LangIdModel":
+        z = np.load(path, allow_pickle=False)
+        return cls(list(z["langs"]), z["log_probs"], z["log_priors"])
+
+
+def train_langid(texts_by_lang: dict[str, list[str]], alpha: float = 0.5) -> LangIdModel:
+    """Closed-form Naive Bayes over hashed n-grams (deterministic)."""
+    langs = sorted(texts_by_lang)
+    counts = np.zeros((len(langs), N_BUCKETS), dtype=np.float64)
+    n_docs = np.zeros(len(langs))
+    for li, lang in enumerate(langs):
+        for text in texts_by_lang[lang]:
+            b = _ngram_buckets(text)
+            counts[li] += np.bincount(b, minlength=N_BUCKETS)
+        n_docs[li] = max(len(texts_by_lang[lang]), 1)
+    totals = counts.sum(axis=1, keepdims=True)
+    log_probs = np.log(counts + alpha) - np.log(totals + alpha * N_BUCKETS)
+    log_priors = np.log(n_docs / n_docs.sum())
+    return LangIdModel(langs, log_probs.astype(np.float32), log_priors.astype(np.float32))
+
+
+def langid_struct(
+    spark: SparkSession, model: LangIdModel, text: Column, claimed: Column
+) -> Column:
+    """Score (text, claimed_lang) → struct(pred_lang, confidence, claimed_score).
+
+    One pandas UDF; weights travel as a Spark broadcast so a 1000-executor
+    cluster ships them once per executor, not per task.
+    """
+    bc = spark.sparkContext.broadcast(
+        (model.langs, model.log_probs, model.log_priors)
+    )
+
+    @F.pandas_udf(LANGID_RESULT)
+    def _score(texts: pd.Series, claims: pd.Series) -> pd.DataFrame:
+        langs, lp, pri = bc.value
+        m = LangIdModel(list(langs), lp, pri)
+        return m.score_batch(texts, claims)
+
+    return _score(text, claimed)
+
+
+def langid_finding(result: Column, threshold: float = 0.7) -> Column:
+    """Map the scorer output to a finding struct, reference ML semantics:
+    anomaly iff claimed-language posterior < threshold; probability =
+    1 - score (clamped)."""
+    score = result["claimed_score"]
+    prob = F.least(F.greatest(F.lit(1.0) - score, F.lit(0.0)), F.lit(0.99))
+    return F.when(
+        score.isNotNull() & (score < F.lit(threshold)),
+        F.struct(
+            F.lit("langid_mismatch").alias("rule"),
+            F.lit("LANG_MISMATCH").alias("code"),
+            prob.alias("probability"),
+        ),
+    )

@@ -1,0 +1,125 @@
+"""KenLM-style n-gram pseudo-perplexity scoring.
+
+Fills the reference's LLM-detector slot (masked-LM mean negative log
+probability per token, ``anomaly_detectors/llm_based/llm_anomaly_detector.py
+:208-248``) with a word-bigram language model trained by counting a clean
+corpus — the north star's "KenLM-style n-gram perplexity scoring".  Contract
+preserved exactly:
+
+* per-document score = mean NLL per token (higher = more anomalous),
+* scoring failure → sentinel score 10.0 (reference ``:208-248``),
+* anomaly iff ``score > threshold`` (reference ``:273,491-511``),
+* probability = ``min(score / 10, 1.0)`` (reference ``:273``).
+
+One LM per language; a document is scored against the LM of its *claimed*
+language, so clean non-English pages are not penalised.  Models are plain
+numpy/dict artifacts, broadcast once; scoring happens in a single
+Arrow-batched pandas UDF (at 100 TB this slot would be a C-backed KenLM
+binary memory-mapped per executor — same contract, same plan shape).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ERROR_SCORE = 10.0
+BOS = "<s>"
+UNK_ID = 0  # vocab id 0 reserved for unknown tokens
+
+
+def _tokens(text: str) -> list[str]:
+    return text.lower().split()
+
+
+@dataclass
+class BigramLM:
+    vocab: dict[str, int]  # word -> id (>=1); 0 = UNK
+    uni: np.ndarray  # (V+1,) unigram counts (context counts)
+    bi: dict[tuple[int, int], float]  # (prev, cur) -> count
+    k: float = 0.5  # add-k smoothing
+
+    def nll(self, text: str) -> float:
+        toks = _tokens(text)
+        if not toks:
+            return ERROR_SCORE
+        v = len(self.uni)
+        ids = [self.vocab.get(t, UNK_ID) for t in toks]
+        prev = self.vocab.get(BOS, UNK_ID)
+        total = 0.0
+        for cur in ids:
+            c_bi = self.bi.get((prev, cur), 0.0)
+            c_uni = self.uni[prev]
+            total += -math.log((c_bi + self.k) / (c_uni + self.k * v))
+            prev = cur
+        return total / len(ids)
+
+
+def train_bigram(texts: list[str], max_vocab: int = 50_000, k: float = 0.5) -> BigramLM:
+    """Count-based training (deterministic, closed form)."""
+    from collections import Counter
+
+    uni_counter: Counter = Counter()
+    for t in texts:
+        uni_counter.update(_tokens(t))
+    vocab_words = [w for w, _ in sorted(uni_counter.items(), key=lambda x: (-x[1], x[0]))][
+        : max_vocab - 2
+    ]
+    vocab = {BOS: 1}
+    for w in vocab_words:
+        vocab[w] = len(vocab) + 1
+    v = len(vocab) + 1  # + UNK slot
+    uni = np.zeros(v, dtype=np.float64)
+    bi: dict[tuple[int, int], float] = {}
+    for t in texts:
+        ids = [vocab.get(w, UNK_ID) for w in _tokens(t)]
+        prev = vocab[BOS]
+        for cur in ids:
+            uni[prev] += 1
+            bi[(prev, cur)] = bi.get((prev, cur), 0.0) + 1
+            prev = cur
+    return BigramLM(vocab, uni, bi, k)
+
+
+def perplexity_column(
+    spark: SparkSession,
+    models: dict[str, BigramLM],
+    text: Column,
+    claimed: Column,
+    default_lang: str = "en",
+) -> Column:
+    """Mean-NLL score column: each doc scored by its claimed language's LM."""
+    bc = spark.sparkContext.broadcast(models)
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(texts: pd.Series, claims: pd.Series) -> pd.Series:
+        lms = bc.value
+        out = []
+        for t, cl in zip(texts, claims):
+            if t is None or not isinstance(t, str) or not t.strip():
+                out.append(None)
+                continue
+            lm = lms.get(cl) or lms.get(default_lang)
+            out.append(lm.nll(t) if lm is not None else ERROR_SCORE)
+        return pd.Series(out, dtype="float64")
+
+    return _score(text, claimed)
+
+
+def perplexity_finding(score: Column, threshold: float = 6.0) -> Column:
+    """score > threshold → finding with probability min(score/10, 1)."""
+    prob = F.least(score / F.lit(10.0), F.lit(1.0))
+    return F.when(
+        score.isNotNull() & (score > F.lit(threshold)),
+        F.struct(
+            F.lit("high_perplexity").alias("rule"),
+            F.lit("HIGH_PERPLEXITY").alias("code"),
+            prob.alias("probability"),
+        ),
+    )

@@ -1,0 +1,288 @@
+"""JSON-driven validation rule engine, compiled to Spark Column expressions.
+
+Re-expresses the reference's 14-way rule dispatcher
+(``validators/json_validator.py:74-284`` in the reference repo) as a
+*compiler*: a JSON ruleset becomes one ``CASE WHEN`` chain evaluated
+entirely inside whole-stage codegen.  Two semantics carried over exactly:
+
+1. **Rule order is semantics** — rules are evaluated in JSON order and the
+   first hit wins (reference ``json_validator.py:66-72``).  We preserve this
+   with an ordered ``coalesce(when(p1, s1), when(p2, s2), ...)``.
+2. **Null skip** — only the ``missing`` rule fires on null; every other rule
+   is guarded by ``isNotNull`` (reference ``json_validator.py:89-91``).
+
+Regex parity: the reference uses Python ``re`` (``json_validator.py:130``);
+Spark ``rlike`` is Java regex and differs on unicode classes and inline
+flags.  With ``regex_engine="python"`` all regex-family rules for a column
+are evaluated in **one** Arrow-batched pandas UDF that returns a bitmask
+(one bit per regex rule); the CASE chain then tests bits — a single Python
+hop per column, everything else stays JVM-side.  With
+``regex_engine="native"`` (the 100-TB fast path) they compile to ``rlike``.
+
+Beyond the reference's 14 types, this adds the web-text quality rules the
+north star requires (length/repetition/boilerplate/character-class ratios —
+Gopher/C4-style), all as native Column expressions:
+``min_words, max_words, max_digit_ratio, max_symbol_ratio,
+min_alpha_ratio, min_distinct_word_ratio, max_word_length,
+min_mean_word_length, max_mean_word_length, min_stopword_count,
+keyword_blocklist, max_line_dup_ratio``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FINDING_TYPE = T.StructType(
+    [
+        T.StructField("rule", T.StringType()),
+        T.StructField("code", T.StringType()),
+        T.StructField("probability", T.DoubleType()),
+    ]
+)
+
+# rule types whose predicate needs a regex engine (parity-sensitive)
+_REGEX_TYPES = {"regex", "regex_multiple", "regex_negative"}
+
+_WS = r"[ \t\n\r\f\v]"  # keep Java/Python/RE2 whitespace classes aligned
+
+
+def load_ruleset(path: str | Path) -> list[dict]:
+    spec = json.loads(Path(path).read_text())
+    return spec["rules"] if isinstance(spec, dict) else spec
+
+
+def _words(col: Column) -> Column:
+    stripped = F.regexp_replace(col, rf"^{_WS}+|{_WS}+$", "")
+    return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, rf"{_WS}+")
+    )
+
+
+def _count_char(col: Column, ch: str) -> Column:
+    return F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
+
+
+def _native_predicate(col: Column, rule: dict) -> Column:
+    """Compile one rule to a boolean Column (fires == True). Null-unsafe:
+    callers wrap with the isNotNull guard."""
+    rt = rule["type"]
+    if rt == "missing":
+        return col.isNull()
+    if rt == "type_check":
+        expected = rule.get("expected_type", "string")
+        if expected in ("numeric", "float", "int"):
+            return col.cast("double").isNull()
+        return F.lit(False)  # string columns satisfy string type_check by schema
+    if rt == "empty_string":
+        return col == F.lit("")
+    if rt == "whitespace":
+        # python str.strip() parity: any leading/trailing whitespace
+        return col.rlike(rf"^{_WS}") | col.rlike(rf"{_WS}$")
+    if rt == "min_length":
+        return F.length(col) < int(rule["min_length"])
+    if rt == "max_length":
+        return F.length(col) > int(rule["max_length"])
+    if rt == "regex":
+        pat = rule["pattern"]
+        if rule.get("case_insensitive"):
+            pat = "(?i)" + pat
+        fire = col.rlike(pat)
+        for ex in rule.get("exclude_patterns", []):
+            fire = fire & ~col.rlike("^(?:" + ex + ")")  # re.match = anchored
+        return fire
+    if rt == "regex_multiple":
+        fire = F.lit(False)
+        for pat in rule["patterns"]:
+            fire = fire | col.rlike(pat)
+        return fire
+    if rt == "regex_negative":
+        hit = F.lit(False)
+        for pat in rule["patterns"]:
+            hit = hit | col.rlike("^(?:" + pat + ")")  # re.match = anchored
+        return ~hit
+    if rt == "keyword_check":
+        keywords = rule["required_keywords"]
+        target = col if rule.get("case_sensitive") else F.lower(col)
+        present = F.lit(False)
+        for k in keywords:
+            kk = k if rule.get("case_sensitive") else k.lower()
+            present = present | target.contains(kk)
+        return ~present
+    if rt == "keyword_blocklist":
+        target = F.lower(col)
+        present = F.lit(False)
+        for k in rule["blocked_keywords"]:
+            present = present | target.contains(k.lower())
+        return present
+    if rt == "percentage_sum_check":
+        tol = float(rule.get("tolerance", 0.1))
+        target = float(rule.get("target", 100.0))
+        pcts = F.regexp_extract_all(col, F.lit(r"(\d+(?:\.\d+)?)" + _WS + r"*%"), F.lit(1))
+        total = F.aggregate(pcts, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        return (F.size(pcts) > 0) & (F.abs(total - F.lit(target)) > tol)
+    if rt == "parenthesis_check":
+        return _count_char(col, "(") != _count_char(col, ")")
+    if rt == "year_range_check":
+        lo, hi = int(rule["min_year"]), int(rule["max_year"])
+        years = F.regexp_extract_all(col, F.lit(r"\b(19\d{2}|20\d{2})\b"), F.lit(1))
+        return F.exists(years, lambda y: (y.cast("int") < lo) | (y.cast("int") > hi))
+    if rt == "temperature_check":
+        lo = float(rule["min_temp"])
+        hi = float(rule["max_temp"])
+        temps = F.regexp_extract_all(col, F.lit(r"(\d+)" + _WS + r"*°?" + _WS + r"*[CcFf]"), F.lit(1))
+        celsius = F.transform(
+            temps,
+            lambda t: F.when(t.cast("double") > 100.0, (t.cast("double") - 32.0) * 5.0 / 9.0).otherwise(
+                t.cast("double")
+            ),
+        )
+        return F.exists(celsius, lambda c: (c < lo) | (c > hi))
+    if rt == "contradiction_check":
+        target = F.lower(col)
+        fire = F.lit(False)
+        for a, b in rule["contradiction_pairs"]:
+            fire = fire | (target.contains(a.lower()) & target.contains(b.lower()))
+        return fire
+    # ---- web-text quality extensions (north-star heuristic rules) ----
+    words = _words(col)
+    n_words = F.size(words)
+    n_chars = F.length(col)
+    if rt == "min_words":
+        return n_words < int(rule["min_words"])
+    if rt == "max_words":
+        return n_words > int(rule["max_words"])
+    if rt == "max_digit_ratio":
+        n_digits = n_chars - F.length(F.regexp_replace(col, r"[0-9]", ""))
+        return (n_chars > 0) & (n_digits / n_chars > float(rule["max_ratio"]))
+    if rt == "max_symbol_ratio":
+        n_sym = F.length(F.regexp_replace(col, rf"[0-9A-Za-z{_WS[1:-1]}]", ""))
+        return (n_chars > 0) & (n_sym / n_chars > float(rule["max_ratio"]))
+    if rt == "min_alpha_ratio":
+        n_alpha = n_chars - F.length(F.regexp_replace(col, r"[A-Za-z]", ""))
+        return (n_chars > 0) & (n_alpha / n_chars < float(rule["min_ratio"]))
+    if rt == "min_distinct_word_ratio":
+        return (n_words > 0) & (
+            F.size(F.array_distinct(F.transform(words, F.lower))) / n_words
+            < float(rule["min_ratio"])
+        )
+    if rt == "max_word_length":
+        return (n_words > 0) & (
+            F.array_max(F.transform(words, F.length)) > int(rule["max_word_length"])
+        )
+    if rt in ("min_mean_word_length", "max_mean_word_length"):
+        mean_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)) / n_words
+        if rt == "min_mean_word_length":
+            return (n_words > 0) & (mean_len < float(rule["min_mean"]))
+        return (n_words > 0) & (mean_len > float(rule["max_mean"]))
+    if rt == "min_stopword_count":
+        stops = F.lit([s.lower() for s in rule["stopwords"]]).cast("array<string>")
+        hits = F.size(F.filter(words, lambda w: F.array_contains(stops, F.lower(w))))
+        return hits < int(rule["min_count"])
+    if rt == "max_line_dup_ratio":
+        lines = F.filter(
+            F.transform(F.split(col, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
+        )
+        n_lines = F.size(lines)
+        return (n_lines > 1) & (
+            (n_lines - F.size(F.array_distinct(lines))) / n_lines > float(rule["max_ratio"])
+        )
+    raise ValueError(f"unknown rule type: {rt}")
+
+
+def _python_regex_fire(rule: dict, series: pd.Series) -> pd.Series:
+    """Python-`re` evaluation of one regex-family rule over a batch."""
+    rt = rule["type"]
+    if rt == "regex":
+        flags = re.IGNORECASE if rule.get("case_insensitive") else 0
+        pat = re.compile(rule["pattern"], flags)
+        fire = series.str.contains(pat, na=False)
+        for ex in rule.get("exclude_patterns", []):
+            fire &= ~series.str.match(ex, na=False)
+        return fire
+    if rt == "regex_multiple":
+        fire = pd.Series(False, index=series.index)
+        for pat in rule["patterns"]:
+            fire |= series.str.contains(pat, regex=True, na=False)
+        return fire
+    if rt == "regex_negative":
+        hit = pd.Series(False, index=series.index)
+        for pat in rule["patterns"]:
+            hit |= series.str.match(pat, na=False)
+        return ~hit & series.notna()
+    raise AssertionError(rt)
+
+
+def _regex_bitmask_udf(rules: list[dict]):
+    """One pandas UDF evaluating ALL regex rules of a column → long bitmask."""
+    regex_rules = [(i, r) for i, r in enumerate(rules) if r["type"] in _REGEX_TYPES]
+
+    @F.pandas_udf(T.LongType())
+    def bitmask(s: pd.Series) -> pd.Series:
+        out = pd.Series(0, index=s.index, dtype="int64")
+        for i, rule in regex_rules:
+            out |= _python_regex_fire(rule, s).astype("int64") * (1 << i)
+        return out
+
+    return bitmask
+
+
+def compile_predicates(
+    col: Column, rules: list[dict], regex_engine: str = "native"
+) -> list[tuple[dict, Column]]:
+    """Compile a ruleset to ordered (rule, fires?) pairs with null-skip guards."""
+    bitmask_col = None
+    if regex_engine == "python" and any(r["type"] in _REGEX_TYPES for r in rules):
+        bitmask_col = _regex_bitmask_udf(rules)(col)
+    out = []
+    for i, rule in enumerate(rules):
+        if rule["type"] in _REGEX_TYPES and bitmask_col is not None:
+            fires = (bitmask_col.bitwiseAND(F.lit(1 << i))) != 0
+        else:
+            fires = _native_predicate(col, rule)
+        if rule["type"] != "missing":
+            fires = col.isNotNull() & fires
+        out.append((rule, fires))
+    return out
+
+
+def first_hit(col: Column, rules: list[dict], regex_engine: str = "native") -> Column:
+    """First-failing-rule finding struct (or NULL when the value passes).
+
+    Exact reference semantics: JSON order, first hit short-circuits
+    (reference ``json_validator.py:66-72``).
+    """
+    chain = None
+    for rule, fires in compile_predicates(col, rules, regex_engine):
+        finding = F.struct(
+            F.lit(rule.get("name", rule["type"])).alias("rule"),
+            F.lit(rule.get("error_code", rule["type"].upper())).alias("code"),
+            F.lit(float(rule.get("probability", 1.0))).alias("probability"),
+        )
+        clause = F.when(fires, finding)
+        chain = clause if chain is None else F.coalesce(chain, clause)
+    return chain.cast(FINDING_TYPE) if chain is not None else F.lit(None).cast(FINDING_TYPE)
+
+
+def all_findings(col: Column, rules: list[dict], regex_engine: str = "native") -> Column:
+    """Every firing rule as array<struct<rule,code,probability>> (diagnostics
+    surface; the reference only ever reports the first hit)."""
+    elems = []
+    for rule, fires in compile_predicates(col, rules, regex_engine):
+        elems.append(
+            F.when(
+                fires,
+                F.struct(
+                    F.lit(rule.get("name", rule["type"])).alias("rule"),
+                    F.lit(rule.get("error_code", rule["type"].upper())).alias("code"),
+                    F.lit(float(rule.get("probability", 1.0))).alias("probability"),
+                ),
+            )
+        )
+    return F.filter(F.array(*elems), lambda x: x.isNotNull()).cast(T.ArrayType(FINDING_TYPE))
