@@ -37,8 +37,9 @@ def load_pattern_config(path: str | Path) -> dict:
 def pattern_finding(col: Column, cfg: dict) -> Column:
     """First-hit finding struct for one column under a pattern config."""
     probs = cfg.get("probabilities", {})
-    norm = F.lower(F.trim(col))
-    skip = col.isNull() | (F.trim(col) == "")  # reference :215-216
+    value_str = F.trim(col)  # reference :218 value_str = str(value).strip()
+    norm = F.lower(value_str)
+    skip = col.isNull() | (value_str == "")  # reference :215-216
 
     clauses: list[Column] = []
 
@@ -55,21 +56,24 @@ def pattern_finding(col: Column, cfg: dict) -> Column:
         )
 
     for pat in cfg.get("format_patterns", []):
-        # reference uses re.match → anchored
-        add(~norm.rlike("^(?:" + pat + ")"), "format_pattern", "INVALID_FORMAT", "INVALID_FORMAT", 0.8)
+        # reference uses re.match on the STRIPPED, case-preserved value (:222)
+        add(~value_str.rlike("^(?:" + pat + ")"), "format_pattern", "INVALID_FORMAT", "INVALID_FORMAT", 0.8)
     if cfg.get("not_empty"):
-        add(F.trim(col) == "", "not_empty", "EMPTY_VALUE", "EMPTY_VALUE", 0.9)
+        add(value_str == "", "not_empty", "EMPTY_VALUE", "EMPTY_VALUE", 0.9)
     if "max_length" in cfg:
-        add(F.length(col) > int(cfg["max_length"]), "max_length", "MAX_LENGTH", "MAX_LENGTH", 0.8)
+        add(F.length(value_str) > int(cfg["max_length"]), "max_length", "MAX_LENGTH", "MAX_LENGTH", 0.8)
     if "min_length" in cfg:
-        add(F.length(col) < int(cfg["min_length"]), "min_length", "MIN_LENGTH", "MIN_LENGTH", 0.8)
+        add(F.length(value_str) < int(cfg["min_length"]), "min_length", "MIN_LENGTH", "MIN_LENGTH", 0.8)
 
     known = [v.lower().strip() for v in cfg.get("known_values", []) if not v.startswith("#")]
     if known:
         known_arr = F.lit(known).cast("array<string>")
         member = F.array_contains(known_arr, norm)
+        # reference :236-237: known.startswith(norm[:3]) OR norm.startswith(known[:3])
         close = F.exists(
-            known_arr, lambda kv: F.substring(kv, 1, 3) == F.substring(norm, 1, 3)
+            known_arr,
+            lambda kv: kv.startswith(F.substring(norm, 1, 3))
+            | norm.startswith(F.substring(kv, 1, 3)),
         )
         miss = ~member
         clauses.append(

@@ -40,23 +40,37 @@ def _tokens(text: str) -> list[str]:
 
 @dataclass
 class BigramLM:
+    """Interpolated bigram/unigram LM with a large smoothing vocabulary.
+
+    ``P(cur|prev) = lam * c(prev,cur)/c(prev)  +  (1-lam) * (c(cur)+k)/(N+k*V_smooth)``
+
+    ``V_smooth`` is fixed (not the observed vocab size) so out-of-vocabulary
+    tokens are *genuinely* improbable — the property that makes gibberish
+    score far above clean text even when the clean corpus is small.
+    """
+
     vocab: dict[str, int]  # word -> id (>=1); 0 = UNK
-    uni: np.ndarray  # (V+1,) unigram counts (context counts)
+    ctx: np.ndarray  # (V+1,) bigram-context counts c(prev ·)
+    word: np.ndarray  # (V+1,) token occurrence counts c(cur)
     bi: dict[tuple[int, int], float]  # (prev, cur) -> count
-    k: float = 0.5  # add-k smoothing
+    n_tokens: float
+    k: float = 0.5
+    lam: float = 0.7
+    v_smooth: float = 10_000.0
 
     def nll(self, text: str) -> float:
         toks = _tokens(text)
         if not toks:
             return ERROR_SCORE
-        v = len(self.uni)
         ids = [self.vocab.get(t, UNK_ID) for t in toks]
         prev = self.vocab.get(BOS, UNK_ID)
+        uni_denom = self.n_tokens + self.k * self.v_smooth
         total = 0.0
         for cur in ids:
-            c_bi = self.bi.get((prev, cur), 0.0)
-            c_uni = self.uni[prev]
-            total += -math.log((c_bi + self.k) / (c_uni + self.k * v))
+            c_prev = self.ctx[prev]
+            p_bi = (self.bi.get((prev, cur), 0.0) / c_prev) if c_prev > 0 else 0.0
+            p_uni = (self.word[cur] + self.k) / uni_denom
+            total += -math.log(self.lam * p_bi + (1.0 - self.lam) * p_uni)
             prev = cur
         return total / len(ids)
 
@@ -75,16 +89,20 @@ def train_bigram(texts: list[str], max_vocab: int = 50_000, k: float = 0.5) -> B
     for w in vocab_words:
         vocab[w] = len(vocab) + 1
     v = len(vocab) + 1  # + UNK slot
-    uni = np.zeros(v, dtype=np.float64)
+    ctx = np.zeros(v, dtype=np.float64)
+    word = np.zeros(v, dtype=np.float64)
     bi: dict[tuple[int, int], float] = {}
+    n_tokens = 0.0
     for t in texts:
         ids = [vocab.get(w, UNK_ID) for w in _tokens(t)]
         prev = vocab[BOS]
         for cur in ids:
-            uni[prev] += 1
+            ctx[prev] += 1
+            word[cur] += 1
+            n_tokens += 1
             bi[(prev, cur)] = bi.get((prev, cur), 0.0) + 1
             prev = cur
-    return BigramLM(vocab, uni, bi, k)
+    return BigramLM(vocab, ctx, word, bi, n_tokens, k)
 
 
 def perplexity_column(

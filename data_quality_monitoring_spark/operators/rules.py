@@ -78,7 +78,7 @@ def _native_predicate(col: Column, rule: dict) -> Column:
     if rt == "type_check":
         expected = rule.get("expected_type", "string")
         if expected in ("numeric", "float", "int"):
-            return col.cast("double").isNull()
+            return col.try_cast("double").isNull()  # ANSI-safe (Spark 4 default)
         return F.lit(False)  # string columns satisfy string type_check by schema
     if rt == "empty_string":
         return col == F.lit("")

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 DEFAULT_SCRUB_CHAIN: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     ("phone_intl", r"\+\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}", "[PHONE]"),
-    ("phone_us", r"\b\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+    ("phone_us", r"(?:\(\d{3}\)|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
     ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "[CARD]"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),

@@ -154,14 +154,14 @@ def pattern_detect(value, cfg: dict) -> dict | None:
     """Reference pattern_based_detector.py:204-252 semantics."""
     if _is_missing(value) or str(value).strip() == "":
         return None
-    v = str(value)
-    norm = v.lower().strip()
+    v = str(value).strip()  # reference :218
+    norm = v.lower()
     probs = cfg.get("probabilities", {})
     for pat in cfg.get("format_patterns", []):
-        if not re.match(pat, norm):
+        if not re.match(pat, v):  # stripped, case-preserved (reference :222)
             return {"rule": "format_pattern", "code": "INVALID_FORMAT",
                     "probability": float(probs.get("INVALID_FORMAT", 0.8))}
-    if cfg.get("not_empty") and v.strip() == "":
+    if cfg.get("not_empty") and v == "":
         return {"rule": "not_empty", "code": "EMPTY_VALUE",
                 "probability": float(probs.get("EMPTY_VALUE", 0.9))}
     if "max_length" in cfg and len(v) > int(cfg["max_length"]):
@@ -172,7 +172,8 @@ def pattern_detect(value, cfg: dict) -> dict | None:
                 "probability": float(probs.get("MIN_LENGTH", 0.8))}
     known = [k.lower().strip() for k in cfg.get("known_values", []) if not k.startswith("#")]
     if known and norm not in known:
-        close = any(k[:3] == norm[:3] for k in known)
+        # reference :236-237 bidirectional 3-char prefix
+        close = any(k.startswith(norm[:3]) or norm.startswith(k[:3]) for k in known)
         return {
             "rule": "known_values",
             "code": "UNKNOWN_VALUE",

@@ -1,0 +1,81 @@
+"""Verdict combination semantics (reference comprehensive_detector.py:503-777)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_quality_monitoring_spark.operators.rules import FINDING_TYPE
+from data_quality_monitoring_spark.operators.verdict import priority_verdict, weighted_verdict
+
+SCHEMA = T.StructType(
+    [T.StructField(m, FINDING_TYPE, True) for m in ("validation", "pattern", "ml", "llm")]
+)
+
+
+def _finding(code, prob):
+    return {"rule": code.lower(), "code": code, "probability": prob}
+
+
+def _run(spark, rows, fn, **kw):
+    df = spark.createDataFrame(rows, SCHEMA)
+    findings = {m: F.col(m) for m in ("validation", "pattern", "ml", "llm")}
+    return [r["v"] for r in df.select(fn(findings, **kw).alias("v")).collect()]
+
+
+def test_priority_order(spark):
+    rows = [
+        # all four present → validation wins, status ERROR
+        (_finding("V", 0.5), _finding("P", 0.9), _finding("M", 0.9), _finding("L", 0.9)),
+        # pattern+ml → pattern wins, status ANOMALY
+        (None, _finding("P", 0.9), _finding("M", 0.95), None),
+        # ml only
+        (None, None, _finding("M", 0.9), None),
+        # llm only
+        (None, None, None, _finding("L", 0.9)),
+        # nothing
+        (None, None, None, None),
+    ]
+    out = _run(spark, rows, priority_verdict)
+    assert [None if v is None else (v["method"], v["status"]) for v in out] == [
+        ("validation", "ERROR"),
+        ("pattern", "ANOMALY"),
+        ("ml", "ANOMALY"),
+        ("llm", "ANOMALY"),
+        None,
+    ]
+
+
+def test_threshold_gating(spark):
+    rows = [
+        # pattern below its 0.7 threshold → falls through to llm (0.6 thr)
+        (None, _finding("P", 0.65), None, _finding("L", 0.65)),
+        # validation threshold is 0.0 → even prob 0 wins
+        (_finding("V", 0.0), _finding("P", 0.99), None, None),
+        # everything below thresholds → keep
+        (None, _finding("P", 0.5), _finding("M", 0.5), _finding("L", 0.5)),
+    ]
+    out = _run(spark, rows, priority_verdict)
+    assert [None if v is None else v["code"] for v in out] == ["L", "V", None]
+
+
+def test_weighted_combination(spark):
+    rows = [
+        # validation always wins regardless of weights
+        (_finding("V", 0.1), _finding("P", 0.99), _finding("M", 0.99), _finding("L", 0.99)),
+        # single strong anomaly: 0.9 * 1/3 = 0.3 → exactly at cutoff → fires
+        (None, _finding("P", 0.9), None, None),
+        # 0.75 * 1/3 = 0.25 < 0.3 → keep
+        (None, _finding("P", 0.75), None, None),
+        # two methods: 0.8/3 + 0.7/3 = 0.5 → fires; best detection is P (0.8)
+        (None, _finding("P", 0.8), None, _finding("L", 0.7)),
+    ]
+    out = _run(spark, rows, weighted_verdict)
+    assert out[0]["method"] == "validation"
+    assert out[1] is not None and out[1]["status"] == "ANOMALY"
+    assert out[2] is None
+    assert out[3]["method"] == "pattern" and abs(out[3]["probability"] - 0.5) < 1e-9
+
+
+def test_weighted_custom_weights(spark):
+    rows = [(None, _finding("P", 0.9), None, None)]
+    out = _run(spark, rows, weighted_verdict, weights={"pattern": 0.1, "ml": 0.45, "llm": 0.45})
+    assert out[0] is None  # 0.9*0.1 = 0.09 < 0.3
