@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Primary metric: total wall seconds over the headline set (the driver
+records this per round).  Also reported: docs/sec of the flagship
+quality-filter pipeline — the BASELINE.json throughput number.
+
+Usage:
+    python bench.py                      # sf0.1, all CPUs the env names
+    SPARK_GRAFT_CPUS=8 python bench.py   # for scaling-efficiency runs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from data_quality_monitoring_spark.entry_queries import QUERIES  # noqa: E402
+from data_quality_monitoring_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pipeline_verdict",  # flagship: full quality filter (rules+pattern+ml+llm+scrub)
+    "rule_firsthit",
+    "scrub_pii",
+    "dedup_minhash",
+    "dedup_jaccard",
+    "similarity_topk",
+    "centroid_similarity",
+    "events_hourly",
+    "events_sessionize",
+    "tpch_q1",
+    "revenue_by_nation",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(
+        app_name="dqm_bench",
+        cores=cpus,
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # warm up the JVM + python workers + model artifacts once
+    run_query(spark, "pipeline_verdict", sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["pipeline_verdict"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "pipeline_docs_per_sec": docs_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

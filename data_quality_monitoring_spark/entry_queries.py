@@ -1,0 +1,751 @@
+"""Driver-contract query catalog: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 on the
+driver-provided tables (documents/embeddings/events + TPC-H-ish).  The Spark
+side and the ANSI-SQL oracle must produce identical rows (column names are
+aliased identically on both sides; doubles are rounded to fixed decimals so
+both engines hash the same values).
+
+Spark-first notes per query are in the docstrings; the design rule is: no
+Python in the hot path unless the operator genuinely needs a model
+(langid/perplexity), filters/projections stay native so Catalyst pushes them
+into the parquet scan, joins on small sides are broadcast, and pair-counting
+aggregations use group-size combinatorics instead of self-joins wherever the
+semantics allow (that is what survives 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.scrub import scrub_column, scrub_sql
+
+# ---------------------------------------------------------------- helpers
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to"]
+LANG_WHITELIST = ["en", "de", "nl", "fr"]
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _words(col: Column) -> Column:
+    t = F.trim(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+_WORDS_SQL = (
+    "case when trim({c}) = '' then []::VARCHAR[] "
+    "else regexp_split_to_array(trim({c}), '\\s+') end"
+)
+
+
+# ---------------------------------------------------------------- rule engine
+
+def q_rule_firsthit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-hit CASE chain (reference json_validator.py:66-72) as a pure
+    native expression — whole-stage codegen, no UDF, no shuffle."""
+    d = _read(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    n_digits = n_chars - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    distinct_ratio = F.size(F.array_distinct(F.transform(words, F.lower))) / n_words
+    code = (
+        F.when(F.col("text").isNull(), F.lit("MISSING"))
+        .when(F.col("text") == "", F.lit("EMPTY"))
+        .when(n_words < 20, F.lit("TOO_SHORT"))
+        .when((n_chars > 0) & (n_digits / n_chars > 0.3), F.lit("DIGIT_HEAVY"))
+        .when((n_words > 0) & (distinct_ratio < 0.35), F.lit("REPETITIVE"))
+    )
+    prob = (
+        F.when(code.isin("MISSING", "EMPTY"), 1.0)
+        .when(code == "TOO_SHORT", 0.9)
+        .when(code == "DIGIT_HEAVY", 0.85)
+        .when(code == "REPETITIVE", 0.85)
+    )
+    return d.select(
+        "doc_id",
+        F.coalesce(code, F.lit("PASS")).alias("code"),
+        F.coalesce(prob, F.lit(0.0)).alias("probability"),
+    )
+
+
+SQL_RULE_FIRSTHIT = f"""
+WITH t AS (
+  SELECT doc_id, text, {_WORDS_SQL.format(c="text")} AS words,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN 'MISSING'
+         WHEN text = '' THEN 'EMPTY'
+         WHEN len(words) < 20 THEN 'TOO_SHORT'
+         WHEN n_chars > 0 AND n_digits::DOUBLE / n_chars > 0.3 THEN 'DIGIT_HEAVY'
+         WHEN len(words) > 0 AND
+              len(list_distinct(list_transform(words, w -> lower(w))))::DOUBLE / len(words) < 0.35
+           THEN 'REPETITIVE'
+    END AS c
+  FROM t
+)
+SELECT doc_id, coalesce(c, 'PASS') AS code,
+       CASE WHEN c IN ('MISSING','EMPTY') THEN 1.0
+            WHEN c = 'TOO_SHORT' THEN 0.9
+            WHEN c = 'DIGIT_HEAVY' THEN 0.85
+            WHEN c = 'REPETITIVE' THEN 0.85
+            ELSE 0.0 END AS probability
+FROM s
+"""
+
+
+def q_rule_fire_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule fire counts — the north star's filter-metrics table
+    (reference analyze-column / run-summary aggregations)."""
+    return (
+        q_rule_firsthit(spark, sf_dir)
+        .groupBy("code")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_RULE_FIRE_COUNTS = f"WITH base AS ({SQL_RULE_FIRSTHIT}) SELECT code, count(*) AS n FROM base GROUP BY code"
+
+
+def q_keyword_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keyword_check rule (reference json_validator.py:184-201) aggregated
+    per source: docs where none of the required keywords appears."""
+    d = _read(spark, sf_dir, "documents")
+    lower = F.lower("text")
+    missing = ~(lower.contains("table") | lower.contains("query"))
+    return d.groupBy("source").agg(
+        F.sum(missing.cast("long")).alias("n_missing_keywords"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_KEYWORD_CHECK = """
+SELECT source,
+       sum(CASE WHEN NOT (lower(text) LIKE '%table%' OR lower(text) LIKE '%query%')
+                THEN 1 ELSE 0 END)::BIGINT AS n_missing_keywords,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------- pattern detector
+
+def q_pattern_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """known_values membership (reference pattern_based_detector.py:231-249):
+    language whitelist with close-match probabilities — broadcast array, no
+    shuffle."""
+    d = _read(spark, sf_dir, "documents")
+    known = F.lit(LANG_WHITELIST).cast("array<string>")
+    norm = F.lower(F.trim("lang"))
+    member = F.array_contains(known, norm)
+    close = F.exists(
+        known,
+        lambda kv: kv.startswith(F.substring(norm, 1, 3))
+        | norm.startswith(F.substring(kv, 1, 3)),
+    )
+    return d.select(
+        "doc_id",
+        F.when(member, "KNOWN").otherwise("UNKNOWN_VALUE").alias("code"),
+        F.when(member, 0.0).when(close, 0.75).otherwise(0.85).alias("probability"),
+    )
+
+
+SQL_PATTERN_LANG = """
+WITH k AS (SELECT ['en','de','nl','fr'] AS known)
+SELECT doc_id,
+  CASE WHEN list_contains(known, lower(trim(lang))) THEN 'KNOWN' ELSE 'UNKNOWN_VALUE' END AS code,
+  CASE WHEN list_contains(known, lower(trim(lang))) THEN 0.0
+       WHEN len(list_filter(known, kv ->
+             starts_with(kv, lower(trim(lang))[1:3]) OR starts_with(lower(trim(lang)), kv[1:3]))) > 0
+         THEN 0.75
+       ELSE 0.85 END AS probability
+FROM documents, k
+"""
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """langid-distribution metrics table (north star filter metrics)."""
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+SQL_LANG_DISTRIBUTION = (
+    "SELECT lang, count(*) AS n, round(avg(length(text)), 4) AS avg_chars "
+    "FROM documents GROUP BY lang"
+)
+
+
+# ---------------------------------------------------------------- scrub
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered PII scrub chain on synthesised PII text; md5 of the scrubbed
+    bytes proves byte-identity against the SQL oracle."""
+    d = _read(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" reach "),
+        F.col("source"),
+        F.lit("@mail.com or call 555-123-4567 now"),
+    )
+    return d.select("doc_id", F.md5(scrub_column(pii)).alias("scrub_md5"))
+
+
+SQL_SCRUB_PII = (
+    "SELECT doc_id, md5("
+    + scrub_sql("(text || ' reach ' || source || '@mail.com or call 555-123-4567 now')")
+    + ") AS scrub_md5 FROM documents"
+)
+
+
+# ---------------------------------------------------------------- profiling
+
+def q_profile_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """analyze_column value_counts top-20 (reference analyze_column.py:59-64)
+    with a deterministic tiebreak."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("source"))
+        .limit(20)
+    )
+
+
+SQL_PROFILE_VALUE_COUNTS = (
+    "SELECT source, count(*) AS n FROM documents GROUP BY source "
+    "ORDER BY n DESC, source ASC LIMIT 20"
+)
+
+
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """null/distinct stats per lang (reference analyze_column.py:40-43)."""
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 4).alias("avg_n_chars"),
+    )
+
+
+SQL_PROFILE_STATS = """
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_text,
+       count(DISTINCT source) AS n_sources,
+       round(avg(n_chars), 4) AS avg_n_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------- dedup
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash + near-dup families by 40-char prefix.
+    hash-groupBy; at 100 TB this is the standard two-phase partial agg."""
+    d = _read(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.countDistinct(F.md5(F.substring("text", 1, 40))).alias("n_prefix_families"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct_texts,
+       count(DISTINCT md5(substring(text, 1, 40))) AS n_prefix_families
+FROM documents
+"""
+
+
+def _shingles(col: Column) -> Column:
+    """Distinct 3-word shingles, natively: transform over an index sequence."""
+    words = _words(col)
+    n = F.size(words)
+    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = """
+list_distinct(
+  CASE WHEN len(words) >= 3
+       THEN list_transform(range(1, len(words) - 1),
+                           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+       ELSE [] END)
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate counting: 4 independent hash bands over 3-word
+    shingles; per band, candidate pairs are counted from band-bucket sizes
+    (n·(n−1)/2) — NO pairwise self-join, so the plan is groupBy-only and
+    survives arbitrary scale.  md5(seed‖shingle) is the portable hash."""
+    d = _read(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(str(b)), F.col("shingle")))).alias(f"h{b}") for b in range(4)]
+    )
+    per_band = None
+    for b in range(4):
+        band = (
+            sig.groupBy(F.col(f"h{b}").alias("bucket"))
+            .agg(F.count("*").alias("sz"))
+            .agg(
+                F.lit(b).alias("band"),
+                F.sum(((F.col("sz") * (F.col("sz") - 1)) / 2).cast("long")).alias("n_candidate_pairs"),
+            )
+        )
+        per_band = band if per_band is None else per_band.unionAll(band)
+    return per_band
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_SQL.format(c="text")} AS words FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM t
+), sig AS (
+  SELECT doc_id,
+         min(md5('0' || shingle)) AS h0, min(md5('1' || shingle)) AS h1,
+         min(md5('2' || shingle)) AS h2, min(md5('3' || shingle)) AS h3
+  FROM sh GROUP BY doc_id
+)
+SELECT band, sum(sz * (sz - 1) // 2)::BIGINT AS n_candidate_pairs FROM (
+  SELECT 0 AS band, count(*) AS sz FROM sig GROUP BY h0
+  UNION ALL SELECT 1, count(*) FROM sig GROUP BY h1
+  UNION ALL SELECT 2, count(*) FROM sig GROUP BY h2
+  UNION ALL SELECT 3, count(*) FROM sig GROUP BY h3
+) GROUP BY band
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: per document, how many others share ≥ 0.5
+    Jaccard over 3-word shingle sets.  Equi-join on shingle → pair intersect
+    counts → set-size algebra; the join key (shingle) is high-cardinality so
+    the shuffle is well-spread."""
+    d = _read(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza")
+    sb = sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb")
+    pairs = (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .withColumn("j", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("j") >= 0.5)
+    )
+    both = pairs.select(F.col("da").alias("doc_id")).unionAll(pairs.select(F.col("db").alias("doc_id")))
+    return both.groupBy("doc_id").agg(F.count("*").alias("n_similar"))
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_SQL.format(c="text")} AS words FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM t
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT da, db
+  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+)
+SELECT doc_id, count(*) AS n_similar FROM (
+  SELECT da AS doc_id FROM pairs UNION ALL SELECT db FROM pairs
+) GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- similarity search
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: 10 query vectors × corpus via a
+    broadcast nested-loop join (query side is tiny and explicitly
+    broadcast); exact ranking with a window."""
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    joined = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    cos = _dot(F.col("qv"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", F.col("vec_id").alias("neighbor"), F.round("cos", 5).alias("cos_sim"), "rank")
+    )
+
+
+SQL_SIMILARITY_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, e.vec_id AS neighbor,
+         list_sum(list_transform(list_zip(q.qv, e.embedding),
+                  p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, neighbor, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor ASC) AS rank
+  FROM scored
+)
+SELECT qid, neighbor, round(cos, 5) AS cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid scorer (reference check_anomalies.py:98-151 rebuilt
+    relationally): per-label centroid via posexplode + positional avg, then
+    mean member-to-centroid cosine per label."""
+    e = _read(spark, sf_dir, "embeddings")
+    exploded = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+    )
+    j = e.join(F.broadcast(cent), "label")
+    cos = _dot(F.col("embedding"), F.col("centroid")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+    )
+    return (
+        j.withColumn("cos", cos)
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("cos"), 4).alias("avg_centroid_sim"))
+    )
+
+
+SQL_CENTROID_SIMILARITY = """
+WITH ex AS (
+  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, list(c ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS c FROM ex GROUP BY label, pos) GROUP BY label
+), scored AS (
+  SELECT e.label,
+         list_sum(list_transform(list_zip(e.embedding, c.centroid),
+                  p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS cos
+  FROM embeddings e JOIN cent c ON e.label = c.label
+)
+SELECT label, count(*) AS n, round(avg(cos), 4) AS avg_centroid_sim
+FROM scored GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------- text analysis
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + mean word length per lang (quality-score features)."""
+    d = _read(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    mean_wl = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words
+    return (
+        d.select("lang", n_words.alias("nw"), mean_wl.alias("mwl"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("nw"), 4).alias("avg_words"),
+            F.round(F.avg("mwl"), 4).alias("avg_word_len"),
+        )
+    )
+
+
+SQL_TOKEN_STATS = f"""
+WITH t AS (
+  SELECT lang, {_WORDS_SQL.format(c="text")} AS words FROM documents
+), s AS (
+  SELECT lang, len(words) AS nw,
+         list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words) AS mwl
+  FROM t
+)
+SELECT lang, round(avg(nw), 4) AS avg_words, round(avg(mwl), 4) AS avg_word_len
+FROM s GROUP BY lang
+"""
+
+
+def q_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language heuristic (cheap langid tier) vs the claimed
+    tag — a confusion-style aggregate."""
+    d = _read(spark, sf_dir, "documents")
+    words = _words(F.lower(F.col("text")))
+    stops = F.lit(EN_STOPWORDS).cast("array<string>")
+    hits = F.size(F.filter(words, lambda w: F.array_contains(stops, w)))
+    pred = F.when(hits >= 2, "en").otherwise("other")
+    return d.groupBy(F.col("lang"), pred.alias("pred_lang")).agg(F.count("*").alias("n"))
+
+
+SQL_LANG_HEURISTIC = f"""
+WITH t AS (
+  SELECT lang, {_WORDS_SQL.format(c="lower(text)")} AS words FROM documents
+)
+SELECT lang,
+       CASE WHEN len(list_filter(words, w -> list_contains({EN_STOPWORDS!r}, w))) >= 2
+            THEN 'en' ELSE 'other' END AS pred_lang,
+       count(*) AS n
+FROM t GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- events
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming rollup)."""
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window lag — the
+    batch equivalent of a stateful streaming session window."""
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet naive timestamps read as TIMESTAMP_NTZ in Spark 4: go via
+    # timestamp (session tz = UTC) to epoch seconds
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = (gap.isNull() | (gap > 1800)).cast("long")
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------- relational baseline
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the relational-aggregation baseline; scan
+    should prune to the 7 referenced columns and push the date filter."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join rollup; nation is broadcast (tiny dim), customer→orders→
+    lineitem shuffle on keys — the shape AQE optimises at scale."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------- model scorers (rows-only: not SQL-expressible)
+
+def q_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram langid over documents (model scorer → rows-only check)."""
+    from .artifacts import get_langid_model
+    from .operators.langid import langid_struct
+
+    d = _read(spark, sf_dir, "documents")
+    res = langid_struct(spark, get_langid_model(), F.col("text"), F.col("lang"))
+    return d.select("doc_id", res.alias("r")).select(
+        "doc_id",
+        F.col("r.pred_lang").alias("pred_lang"),
+        F.round("r.confidence", 6).alias("confidence"),
+    )
+
+
+def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM pseudo-perplexity over documents (rows-only check)."""
+    from .artifacts import get_bigram_models
+    from .operators.perplexity import perplexity_column
+
+    d = _read(spark, sf_dir, "documents")
+    score = perplexity_column(spark, get_bigram_models(), F.col("text"), F.col("lang"))
+    return d.select("doc_id", F.round(score, 6).alias("ppl"))
+
+
+def q_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quality-filter pipeline over documents mapped to the pages shape
+    (rows-only: verdict uses the model scorers)."""
+    from .plans.pipeline import quality_filter
+
+    d = _read(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    res = quality_filter(spark, pages)
+    return res.select(
+        "url", "keep", F.col("verdict.method").alias("method"), F.col("verdict.code").alias("code")
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES = {
+    "rule_firsthit": q_rule_firsthit,
+    "rule_fire_counts": q_rule_fire_counts,
+    "keyword_check": q_keyword_check,
+    "pattern_lang": q_pattern_lang,
+    "lang_distribution": q_lang_distribution,
+    "scrub_pii": q_scrub_pii,
+    "profile_value_counts": q_profile_value_counts,
+    "profile_stats": q_profile_stats,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "similarity_topk": q_similarity_topk,
+    "centroid_similarity": q_centroid_similarity,
+    "token_stats": q_token_stats,
+    "lang_heuristic": q_lang_heuristic,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "tpch_q1": q_tpch_q1,
+    "revenue_by_nation": q_revenue_by_nation,
+    "langid_scores": q_langid_scores,
+    "perplexity_scores": q_perplexity_scores,
+    "pipeline_verdict": q_pipeline_verdict,
+}
+
+ORACLES = {
+    "rule_firsthit": SQL_RULE_FIRSTHIT,
+    "rule_fire_counts": SQL_RULE_FIRE_COUNTS,
+    "keyword_check": SQL_KEYWORD_CHECK,
+    "pattern_lang": SQL_PATTERN_LANG,
+    "lang_distribution": SQL_LANG_DISTRIBUTION,
+    "scrub_pii": SQL_SCRUB_PII,
+    "profile_value_counts": SQL_PROFILE_VALUE_COUNTS,
+    "profile_stats": SQL_PROFILE_STATS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "centroid_similarity": SQL_CENTROID_SIMILARITY,
+    "token_stats": SQL_TOKEN_STATS,
+    "lang_heuristic": SQL_LANG_HEURISTIC,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "tpch_q1": SQL_TPCH_Q1,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    # langid_scores / perplexity_scores / pipeline_verdict: model scorers,
+    # not SQL-expressible → rows-only checks by design.
+}
