@@ -1,0 +1,76 @@
+"""Structured Streaming variant of the quality filter.
+
+The reference is purely batch (SURVEY.md §2.9: no streaming/watermarks), and
+the north-star pipeline checkpoints per partition in batch; this module adds
+the Structured Streaming form for incremental ingestion: new page files
+landing in a directory are filtered continuously with exactly-once sinks via
+the checkpoint location.
+
+The transformation is the *same* ``quality_filter`` expression tree — every
+operator in this engine is a stateless per-row projection, so it is
+streaming-safe with no watermark needed.  The rolling per-rule fire-count
+metric uses a processing-window groupBy on ``warc_ts``, which does need the
+watermark shown here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..datagen import PAGES_SCHEMA
+from ..plans.pipeline import quality_filter
+
+
+def read_page_stream(spark: SparkSession, input_dir: str, max_files: int = 16) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def filtered_stream(spark: SparkSession, pages_stream: DataFrame) -> DataFrame:
+    res = quality_filter(spark, pages_stream)
+    return res.select("url", "warc_ts", "lang", "keep", "verdict", "text_scrubbed")
+
+
+def start_filter(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-to-file streaming filter with exactly-once checkpointing.
+
+    ``available_now=True`` drains everything currently in the directory and
+    stops — the testable mode; ``False`` runs continuously.
+    """
+    out = filtered_stream(spark, read_page_stream(spark, input_dir))
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    trigger = {"availableNow": True} if available_now else {"processingTime": "10 seconds"}
+    return writer.trigger(**trigger).start()
+
+
+def windowed_fire_counts(
+    spark: SparkSession, pages_stream: DataFrame, window: str = "1 hour"
+) -> DataFrame:
+    """Per-window per-code fire counts with a watermark for late pages —
+    the streaming filter-metrics table."""
+    res = quality_filter(spark, pages_stream)
+    return (
+        res.withWatermark("warc_ts", "2 hours")
+        .groupBy(
+            F.window("warc_ts", window).alias("w"),
+            F.coalesce(F.col("verdict.code"), F.lit("PASS")).alias("code"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "code", "n")
+    )

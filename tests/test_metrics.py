@@ -1,0 +1,63 @@
+"""Metrics operators: confusion matrix set algebra, threshold sweep, histogram."""
+
+from pyspark.sql import functions as F
+
+from data_quality_monitoring_spark.operators.metrics import (
+    confusion_matrix,
+    histogram,
+    threshold_sweep,
+    weights_from_performance,
+)
+
+
+def test_confusion_matrix_algebra(spark):
+    detected = spark.createDataFrame(
+        [("u1", "text"), ("u2", "text"), ("u3", "text")], ["url", "field"]
+    )
+    injected = spark.createDataFrame(
+        [("u2", "text"), ("u3", "text"), ("u4", "text")], ["url", "field"]
+    )
+    r = confusion_matrix(detected, injected, n_rows=10).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 6)
+    assert abs(r["precision"] - 2 / 3) < 1e-9
+    assert abs(r["recall"] - 2 / 3) < 1e-9
+    assert abs(r["f1"] - 2 / 3) < 1e-9
+
+
+def test_confusion_matrix_empty_sides(spark):
+    empty = spark.createDataFrame([], "url string, field string")
+    injected = spark.createDataFrame([("u1", "text")], ["url", "field"])
+    r = confusion_matrix(empty, injected, n_rows=5).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 1, 4)
+    assert r["f1"] == 0.0
+
+
+def test_threshold_sweep_single_pass(spark):
+    scores = spark.createDataFrame(
+        [(1.0, False), (2.0, False), (5.0, True), (9.0, True)], ["score", "is_anom"]
+    )
+    sweep = threshold_sweep(scores, "score", "is_anom", [0.0, 3.0, 6.0, 10.0]).collect()
+    by_t = {r["threshold"]: r for r in sweep}
+    assert by_t[0.0]["recall"] == 1.0 and by_t[0.0]["precision"] == 0.5
+    assert by_t[3.0]["f1"] == 1.0
+    assert by_t[6.0]["recall"] == 0.5
+    assert by_t[10.0]["tp"] == 0
+
+
+def test_histogram_buckets(spark):
+    df = spark.range(0, 100).select((F.col("id") / 10.0).alias("x"))
+    h = {r["bucket"]: r["n"] for r in histogram(df, "x", 0.0, 10.0, 10).collect()}
+    assert h[1] == 10 and h[10] == 10 and len(h) == 10
+    # overflow buckets
+    df2 = spark.createDataFrame([(-1.0,), (99.0,)], ["x"])
+    h2 = {r["bucket"]: r["n"] for r in histogram(df2, "x", 0.0, 10.0, 10).collect()}
+    assert h2[0] == 1 and h2[11] == 1
+
+
+def test_weights_from_performance():
+    w = weights_from_performance({"pattern": 0.8, "ml": 0.4, "llm": 0.05})
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+    assert w["pattern"] > w["ml"] > w["llm"]
+    assert abs(w["llm"] - 0.1 / 1.3) < 1e-9  # baseline floor applied
+    eq = weights_from_performance({})
+    assert all(abs(v - 1 / 3) < 1e-9 for v in eq.values())

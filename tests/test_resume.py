@@ -1,0 +1,70 @@
+"""Kill-and-resume: a run killed mid-way must resume from the last committed
+snapshot and converge to the exact table a clean run produces, with one
+lineage row per bucket and no double counting (north-rule requirement)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_monitoring_spark.datagen import generate_pages
+from data_quality_monitoring_spark.plans.pipeline import quality_filter
+from data_quality_monitoring_spark.sources.manifest import PartitionedSink
+
+N_DOCS = 640
+
+
+def _transform(spark):
+    def t(slice_df):
+        res = quality_filter(spark, slice_df)
+        return res.select("url", "keep", "text_scrubbed", "bucket")
+
+    return t
+
+
+@pytest.fixture()
+def pages(spark):
+    return generate_pages(spark, N_DOCS, partitions=8)
+
+
+def _table(sink, spark):
+    return (
+        sink.result(spark)
+        .select("url", "keep", "text_scrubbed", "bucket")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def test_kill_and_resume_identical(spark, pages, tmp_path):
+    clean = PartitionedSink(str(tmp_path / "clean"), n_buckets=16, chunk_buckets=4)
+    clean.run(pages, _transform(spark))
+
+    crashy = PartitionedSink(str(tmp_path / "crashy"), n_buckets=16, chunk_buckets=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        crashy.run(pages, _transform(spark), fail_after_chunks=2)
+    committed_mid = crashy.committed_buckets()
+    assert len(committed_mid) == 8  # 2 chunks × 4 buckets
+
+    summary = crashy.run(pages, _transform(spark))  # resume
+    assert summary["chunks_run"] == 2  # only the remaining half
+
+    a, b = _table(clean, spark), _table(crashy, spark)
+    assert a.equals(b)
+
+    lin = crashy.lineage(spark).toPandas()
+    assert len(lin) == 16 and sorted(lin["bucket"]) == list(range(16))
+    assert lin["n_docs"].sum() == N_DOCS  # no double counting
+    lin_clean = clean.lineage(spark).toPandas()
+    m = lin.sort_values("bucket").reset_index(drop=True)
+    c = lin_clean.sort_values("bucket").reset_index(drop=True)
+    assert (m["checksum"].values == c["checksum"].values).all()
+    assert (m["n_kept"].values == c["n_kept"].values).all()
+
+
+def test_rerun_is_noop(spark, pages, tmp_path):
+    sink = PartitionedSink(str(tmp_path / "t"), n_buckets=8, chunk_buckets=4)
+    sink.run(pages, _transform(spark))
+    before = _table(sink, spark)
+    summary = sink.run(pages, _transform(spark))
+    assert summary["chunks_run"] == 0
+    assert _table(sink, spark).equals(before)
