@@ -16,8 +16,10 @@ semantics allow (that is what survives 100 TB).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .operators.scrub import scrub_column, scrub_sql
 
@@ -268,23 +270,28 @@ FROM documents
 
 
 def _shingles(col: Column) -> Column:
-    """Distinct 3-word shingles, natively: transform over an index sequence."""
-    words = _words(col)
-    n = F.size(words)
-    idx = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-                F.element_at(words, i + 3),
-            ),
-        )
-    )
+    """Distinct 3-word shingles via an Arrow-batched pandas UDF.
+
+    Measured at sf0.1 (5000 docs → 260k shingles, local[32]): native
+    ``transform(sequence, i -> concat_ws(element_at...))`` takes 11.3 s (the
+    higher-order-function lambda path is interpreted, not codegen'd), a
+    posexplode+window-lead rewrite 3.9 s (pays a word-level shuffle), the
+    pandas UDF 0.7 s.  This is the documented exception to "stay native":
+    string kernels with per-row loops beat interpreted HOFs by >10×."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _sh(texts: pd.Series) -> pd.Series:
+        def sh(t):
+            if t is None:
+                return []
+            w = t.split()
+            if len(w) < 3:
+                return []
+            return list({" ".join(w[i : i + 3]) for i in range(len(w) - 2)})
+
+        return texts.map(sh)
+
+    return _sh(col)
 
 
 _SHINGLES_SQL = """
@@ -306,18 +313,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(str(b)), F.col("shingle")))).alias(f"h{b}") for b in range(4)]
     )
-    per_band = None
-    for b in range(4):
-        band = (
-            sig.groupBy(F.col(f"h{b}").alias("bucket"))
-            .agg(F.count("*").alias("sz"))
-            .agg(
-                F.lit(b).alias("band"),
-                F.sum(((F.col("sz") * (F.col("sz") - 1)) / 2).cast("long")).alias("n_candidate_pairs"),
-            )
+    # unpivot the 4 band signatures so ONE pass computes all band buckets —
+    # the naive per-band loop would rescan + re-aggregate the shingles 4×
+    unpivoted = sig.select(
+        F.expr("stack(4, 0, h0, 1, h1, 2, h2, 3, h3) as (band, bucket)")
+    )
+    return (
+        unpivoted.groupBy("band", "bucket")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("band")
+        .agg(
+            F.sum(((F.col("sz") * (F.col("sz") - 1)) / 2).cast("long")).alias("n_candidate_pairs")
         )
-        per_band = band if per_band is None else per_band.unionAll(band)
-    return per_band
+    )
 
 
 SQL_DEDUP_MINHASH = f"""
@@ -346,7 +354,9 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts → set-size algebra; the join key (shingle) is high-cardinality so
     the shuffle is well-spread."""
     d = _read(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    # persist the exploded shingles: sizes + the self-join both consume it,
+    # and recomputing the explode is the dominant cost of this query
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

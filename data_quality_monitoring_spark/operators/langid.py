@@ -23,7 +23,6 @@ crc32 (never Python's salted ``hash``), training is closed-form counting
 
 from __future__ import annotations
 
-import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -45,15 +44,19 @@ LANGID_RESULT = T.StructType(
 
 
 def _ngram_buckets(text: str) -> np.ndarray:
-    """Stable hashed char n-gram ids for one document."""
+    """Stable hashed char n-gram ids for one document.
+
+    Vectorised polynomial rolling hash over the UTF-8 bytes (numpy, no
+    per-n-gram Python call): h(c1..cn) = Σ ci·31^(n−i) mod N_BUCKETS.
+    Deterministic across platforms (pure integer arithmetic)."""
     s = " " + text.lower()[:2000] + " "  # cap per-doc work; plenty of signal
-    out = []
-    for n in range(NGRAM_MIN, NGRAM_MAX + 1):
-        out.extend(
-            zlib.crc32(s[i : i + n].encode("utf-8", "ignore")) % N_BUCKETS
-            for i in range(len(s) - n + 1)
-        )
-    return np.asarray(out, dtype=np.int64)
+    b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.int64)
+    if len(b) < 3:
+        b = np.pad(b, (0, 3 - len(b)), constant_values=32)
+    n1 = b
+    n2 = b[:-1] * 31 + b[1:]
+    n3 = b[:-2] * 961 + b[1:-1] * 31 + b[2:]
+    return np.concatenate([n1, n2, n3]) % N_BUCKETS
 
 
 @dataclass
