@@ -552,6 +552,126 @@ FROM t GROUP BY 1, 2
 """
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (C4/Gopher-style scalar) per lang — native
+    arithmetic only, mirrored exactly in SQL."""
+    from .operators.textstats import quality_score
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select("lang", quality_score(F.col("text")).alias("q"))
+        .groupBy("lang")
+        .agg(F.round(F.avg("q"), 4).alias("avg_quality"), F.count("*").alias("n"))
+    )
+
+
+_STOPS20 = (
+    "['the','a','of','and','to','in','is','was','for','that','it',"
+    "'with','as','on','be','at','by','this','had','not']"
+)
+
+SQL_QUALITY_SCORE = f"""
+WITH t AS (
+  SELECT lang, text, {_WORDS_SQL.format(c="text")} AS words,
+         {_WORDS_SQL.format(c="lower(text)")} AS lwords,
+         length(text) AS n
+  FROM documents
+), s AS (
+  SELECT lang,
+    round(
+      0.3 * (CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / n ELSE 0 END)
+    + 0.25 * (CASE WHEN len(lwords) > 0
+              THEN len(list_filter(lwords, w -> list_contains({_STOPS20}, w)))::DOUBLE / len(lwords)
+              ELSE 0 END)
+    + 0.25 * (CASE WHEN len(words) > 0
+              THEN len(list_distinct(list_transform(words, w -> lower(w))))::DOUBLE / len(words)
+              ELSE 0 END)
+    + 0.2 * least(len(words) / 100.0, 1.0), 6) AS q
+  FROM t
+)
+SELECT lang, round(avg(q), 4) AS avg_quality, count(*) AS n FROM s GROUP BY lang
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalised document fingerprint (dedup key) — portable md5 form."""
+    from .operators.textstats import fingerprint_md5
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = (
+    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS fp "
+    "FROM documents"
+)
+
+
+def q_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token accounting per source."""
+    from .operators.textstats import bpe_ish_token_count
+
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select("source", bpe_ish_token_count(F.col("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("total_tokens"), F.round(F.avg("nt"), 4).alias("avg_tokens"))
+    )
+
+
+SQL_TOKEN_BPEISH = """
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\v])', 1)) AS nt
+  FROM documents
+)
+SELECT source, sum(nt)::BIGINT AS total_tokens, round(avg(nt), 4) AS avg_tokens
+FROM t GROUP BY source
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: FNV bit kernel isn't SQL-portable)."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", max_hamming=3)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via hyperplane LSH (rows-only)."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, "vec_id", threshold=0.9)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only; exactness is covered by
+    similarity_topk's oracle and tests pin IVF recall vs the exact path)."""
+    from .operators.similarity import ivf_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, q, "vec_id", "embedding", k=5, n_cells=8, n_probe=4)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: documents text → bytes payload → stubbed
+    deterministic decode via mapInPandas (rows-only)."""
+    from .operators.multimodal import extract_image_metadata
+
+    d = _read(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("string").alias("source_url"),
+    )
+    return extract_image_metadata(media, deterministic_fake=True)
+
+
 # ---------------------------------------------------------------- events
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,6 +847,13 @@ QUERIES = {
     "centroid_similarity": q_centroid_similarity,
     "token_stats": q_token_stats,
     "lang_heuristic": q_lang_heuristic,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "token_bpeish": q_token_bpeish,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_ivf": q_ann_ivf,
+    "multimodal_meta": q_multimodal_meta,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "tpch_q1": q_tpch_q1,
@@ -752,6 +879,9 @@ ORACLES = {
     "centroid_similarity": SQL_CENTROID_SIMILARITY,
     "token_stats": SQL_TOKEN_STATS,
     "lang_heuristic": SQL_LANG_HEURISTIC,
+    "quality_score": SQL_QUALITY_SCORE,
+    "fingerprint": SQL_FINGERPRINT,
+    "token_bpeish": SQL_TOKEN_BPEISH,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "tpch_q1": SQL_TPCH_Q1,

@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary columns.
+
+A training-data pipeline carries media as ``binary`` payloads plus typed
+metadata; the Spark-side mechanics — schema, Arrow batch shape, partition
+sizing, per-executor decoder reuse — are identical whatever the codec.  This
+module makes that plumbing real and tested while STUBBING the actual codec
+work (no image/audio libraries in this container):
+
+* ``decode_image`` raises ``NotImplementedError`` unless
+  ``deterministic_fake=True``, in which case it derives (width, height,
+  channels) and a tiny feature vector from the bytes deterministically —
+  enough to test the full distributed path end-to-end,
+* the UDFs are ``mapInPandas`` over Arrow batches, the shape a real decoder
+  (PIL/ffmpeg) would plug into without touching the plan.
+
+At 100 TB: media rows are fat, so the knobs that matter are
+``spark.sql.files.maxPartitionBytes`` (keep scan splits ≪ executor memory)
+and ``spark.sql.execution.arrow.maxRecordsPerBatch`` (bound batch bytes, not
+just rows) — both set in session.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("source_url", T.StringType(), True),
+    ]
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("sha1", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def decode_image_bytes(payload: bytes, deterministic_fake: bool = False) -> dict:
+    """STUB decode: the real implementation needs an image library.
+
+    ``deterministic_fake=True`` derives plausible metadata + an 8-dim
+    feature vector purely from the bytes (crc-seeded), so the distributed
+    plumbing is testable end-to-end and byte-deterministic."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires an image library not present in this "
+            "environment; pass deterministic_fake=True for the test path"
+        )
+    crc = zlib.crc32(payload)
+    rng = np.random.default_rng(crc)
+    return {
+        "width": int(64 + crc % 1920),
+        "height": int(64 + (crc >> 8) % 1080),
+        "channels": 3,
+        "features": rng.standard_normal(FEATURE_DIM).astype("float32"),
+    }
+
+
+def extract_image_metadata(media: DataFrame, deterministic_fake: bool = False) -> DataFrame:
+    """media table → per-image metadata + features via mapInPandas.
+
+    Column pruning note: only (media_id, payload) are read — keep the
+    select explicit so the parquet scan prunes the fat columns it can."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append(
+                        {"media_id": mid, "n_bytes": None, "sha1": None, "width": None,
+                         "height": None, "channels": None, "features": None}
+                    )
+                    continue
+                payload = bytes(payload)
+                meta = decode_image_bytes(payload, deterministic_fake)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_bytes": len(payload),
+                        "sha1": hashlib.sha1(payload).hexdigest(),
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "channels": meta["channels"],
+                        "features": meta["features"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:
+    """Video frame-sampling *plan*: emits (media_id, frame_ts) rows the
+    decoder stage would consume — pure native expressions (the duration
+    here is stubbed as a deterministic function of payload size)."""
+    duration = (F.length("payload") % 120 + 1).alias("duration_s")
+    with_dur = media.filter(F.col("kind") == "video").select("media_id", duration)
+    return with_dur.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.col("duration_s"), F.lit(every_n_seconds))).alias(
+            "frame_ts"
+        ),
+    )
+
+
+def pages_to_media(pages: DataFrame) -> DataFrame:
+    """Adapter: treat page html payloads as a media table (kind=image used
+    for the fake-decode test path)."""
+    return pages.select(
+        F.xxhash64("url").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("html").alias("payload"),
+        F.lit("text/html").alias("mime"),
+        F.col("url").alias("source_url"),
+    )

@@ -1,0 +1,127 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Two tiers, same contract (query set → top-k neighbors by cosine):
+
+* ``brute_force_topk`` — exact baseline: broadcast the (small) query set,
+  score every corpus vector, rank with a window.  O(|Q|·|C|) but perfectly
+  parallel; correct reference for recall measurements.
+* ``ivf_topk`` — the scale path: k-means-lite coarse quantizer (deterministic
+  seeded centroids refined with a few Lloyd iterations driver-side on a
+  sample), corpus vectors assigned to their nearest centroid (the inverted
+  file), queries probe only ``n_probe`` nearest cells.  The expensive join
+  shrinks from |Q|·|C| to |Q|·|C|·(n_probe/n_cells) on average.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, key: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Exact top-k: (qid, neighbor, cos, rank).  Query side is broadcast."""
+    q = queries.select(F.col(key).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(key).alias("neighbor"), F.col(vec_col).alias("cv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor") != F.col("qid"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def train_centroids(
+    corpus: DataFrame, vec_col: str, n_cells: int = 16, iters: int = 5, seed: int = 11,
+    sample_limit: int = 10_000,
+) -> np.ndarray:
+    """Deterministic k-means-lite on a driver-side sample (the coarse
+    quantizer is tiny; training it distributed would be overkill below
+    billions of vectors — at that point swap in ML-lib KMeans, same
+    contract)."""
+    sample = np.asarray(
+        [r[0] for r in corpus.select(vec_col).limit(sample_limit).collect()], dtype="float64"
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        sims = sample @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    return centroids / np.clip(norms, 1e-12, None)
+
+
+def _cell_udf(centroids: np.ndarray, n_probe: int = 1):
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            sims = centroids @ np.asarray(v, dtype="float64")
+            out.append([int(i) for i in np.argsort(-sims)[:n_probe]])
+        return pd.Series(out)
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    key: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: join queries to corpus only within probed cells."""
+    if centroids is None:
+        centroids = train_centroids(corpus, vec_col, n_cells)
+    assign1 = _cell_udf(centroids, 1)
+    probe = _cell_udf(centroids, n_probe)
+    c = corpus.select(F.col(key).alias("neighbor"), F.col(vec_col).alias("cv")).withColumn(
+        "cell", F.element_at(assign1(F.col("cv")), 1)
+    )
+    q = queries.select(F.col(key).alias("qid"), F.col(vec_col).alias("qv")).withColumn(
+        "cell", F.explode(probe(F.col("qv")))
+    )
+    joined = c.join(F.broadcast(q), "cell").filter(F.col("neighbor") != F.col("qid"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor"))
+    return (
+        joined.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame) -> float:
+    """Recall@k of the approximate result vs the exact baseline."""
+    e = exact.select("qid", "neighbor")
+    a = approx.select("qid", "neighbor")
+    hits = e.join(a, ["qid", "neighbor"], "left_semi").count()
+    total = e.count()
+    return hits / total if total else 1.0

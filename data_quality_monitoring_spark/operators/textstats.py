@@ -1,0 +1,95 @@
+"""Text statistics: quality scoring, token counting, fingerprinting, langid
+heuristic — the cheap per-document feature tier of the quality filter, all
+native Column expressions (whole-stage codegen, no Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = r"[ \t\n\r\f\v]"
+
+DEFAULT_STOPWORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "was", "for", "that", "it",
+    "with", "as", "on", "be", "at", "by", "this", "had", "not",
+]
+
+
+def words(col: Column) -> Column:
+    stripped = F.regexp_replace(col, rf"^{_WS}+|{_WS}+$", "")
+    return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, rf"{_WS}+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: split on whitespace AND on transitions
+    between letters/digits/punctuation (a BPE-flavoured regex proxy used for
+    budget accounting, not exact tokenization)."""
+    pieces = F.regexp_extract_all(
+        col, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), F.lit(1)
+    )
+    return F.coalesce(F.size(pieces), F.lit(0))
+
+
+def char_class_ratios(col: Column) -> dict[str, Column]:
+    n = F.length(col)
+    digit = (n - F.length(F.regexp_replace(col, r"[0-9]", ""))) / n
+    alpha = (n - F.length(F.regexp_replace(col, r"[A-Za-z]", ""))) / n
+    space = (n - F.length(F.regexp_replace(col, _WS, ""))) / n
+    symbol = F.length(F.regexp_replace(col, rf"[0-9A-Za-z{_WS[1:-1]}]", "")) / n
+    guard = lambda c: F.when(n > 0, c).otherwise(F.lit(None))  # noqa: E731
+    return {
+        "digit_ratio": guard(digit),
+        "alpha_ratio": guard(alpha),
+        "space_ratio": guard(space),
+        "symbol_ratio": guard(symbol),
+    }
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    ws = words(F.lower(col))
+    stops = F.lit(stopwords or DEFAULT_STOPWORDS).cast("array<string>")
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(stops, w)))
+    return F.when(F.size(ws) > 0, hits / F.size(ws))
+
+
+def distinct_word_ratio(col: Column) -> Column:
+    ws = words(col)
+    return F.when(
+        F.size(ws) > 0, F.size(F.array_distinct(F.transform(ws, F.lower))) / F.size(ws)
+    )
+
+
+def quality_score(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Composite [0,1] quality score: weighted blend of alpha ratio,
+    stopword ratio, distinct-word ratio and a length factor — the C4/Gopher
+    style scalar a downstream sampler can threshold or weight by."""
+    ratios = char_class_ratios(col)
+    length_factor = F.least(token_count(col) / F.lit(100.0), F.lit(1.0))
+    score = (
+        0.3 * F.coalesce(ratios["alpha_ratio"], F.lit(0.0))
+        + 0.25 * F.coalesce(stopword_ratio(col, stopwords), F.lit(0.0))
+        + 0.25 * F.coalesce(distinct_word_ratio(col), F.lit(0.0))
+        + 0.2 * length_factor
+    )
+    return F.when(col.isNotNull(), F.round(score, 6))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: 64-bit hash of the case/whitespace-normalised
+    text (the 'rolling hash' dedup key — xxhash64 is Spark-native,
+    deterministic, and collision-safe enough at 10^12 docs for a first
+    pass; exact dedup verifies)."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), rf"{_WS}+", " ")
+    return F.xxhash64(norm)
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Portable (engine-agnostic) fingerprint for oracle-checked queries."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), rf"{_WS}+", " ")
+    return F.md5(norm)

@@ -1,0 +1,80 @@
+"""Dedup operators: exact, minhash-LSH, simhash, jaccard verify, embedding near-dup."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_monitoring_spark.operators import dedup as D
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different text about spark query engines and parquet files here"),
+    (5, "another unrelated document mentioning language models and training data sets"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(docs, "doc_id").collect())
+    assert kept == [1, 3, 4, 5]  # 2 deduped into 1 (min key wins)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sig = D.minhash_signatures(docs, "doc_id")
+    pairs = D.lsh_candidate_pairs(sig, "doc_id")
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs share every band
+    assert (1, 3) in got or (2, 3) in got  # near dup shares some band
+    verified = D.jaccard_verify(docs, pairs, "doc_id", threshold=0.5)
+    v = {(r["a"], r["b"]): r["jaccard"] for r in verified.collect()}
+    assert v[(1, 2)] == 1.0
+    assert any(p in v for p in [(1, 3), (2, 3)])
+    assert all(0.5 <= j <= 1.0 for j in v.values())
+
+
+def test_simhash_near_dup(spark, docs):
+    # short docs: one word of 13 changed flips ~6 bits (measured) — simhash
+    # near-dup is a long-document tool, so test it on long docs where a
+    # 1/60-word change measures hamming 1
+    long1 = " ".join(f"word{i}" for i in range(60))
+    long2 = long1.replace("word59", "word99")
+    other = " ".join(f"tok{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, long1), (2, long1), (3, long2), (4, other)], ["doc_id", "text"]
+    )
+    pairs = D.simhash_near_dup_pairs(df, "doc_id", max_hamming=3)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0  # identical text → identical simhash
+    assert got[(1, 3)] <= 3 and got[(2, 3)] <= 3  # one-word change
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_deterministic(spark, docs):
+    a = D.simhash_column(F.col("text"))
+    one = docs.select(a.alias("s")).toPandas()
+    two = docs.select(a.alias("s")).toPandas()
+    assert one.equals(two)
+
+
+def test_embedding_near_dup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype("float32")
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base * 1.001]),  # same direction → cos ≈ 1
+        (3, [float(x) for x in rng.standard_normal(16)]),
+        (4, [float(x) for x in -base]),  # opposite → cos = −1
+    ]
+    df = spark.createDataFrame(rows, "k int, embedding array<float>")
+    pairs = D.embedding_near_dup_pairs(df, "k", threshold=0.95)
+    got = {(r["a"], r["b"]): r["cos"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.999
+    assert all(p == (1, 2) for p in got)

@@ -1,0 +1,95 @@
+"""textstats, profile and multimodal operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_monitoring_spark.datagen import generate_pages
+from data_quality_monitoring_spark.operators import multimodal as M
+from data_quality_monitoring_spark.operators import profile as P
+from data_quality_monitoring_spark.operators import textstats as X
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("one two three",), ("  padded  ",), ("",), (None,), ("hello, world-42!",)], ["t"]
+    )
+    out = df.select(
+        X.token_count(F.col("t")).alias("n"),
+        X.bpe_ish_token_count(F.col("t")).alias("b"),
+    ).collect()
+    assert [r["n"] for r in out] == [3, 1, 0, None, 2]
+    # "hello, world-42!" → hello , world - 42 !  = 6 bpe-ish pieces
+    assert out[4]["b"] == 6
+
+
+def test_char_class_ratios(spark):
+    df = spark.createDataFrame([("ab12 !",)], ["t"])
+    r = df.select(*[v.alias(k) for k, v in X.char_class_ratios(F.col("t")).items()]).collect()[0]
+    assert abs(r["digit_ratio"] - 2 / 6) < 1e-9
+    assert abs(r["alpha_ratio"] - 2 / 6) < 1e-9
+    assert abs(r["symbol_ratio"] - 1 / 6) < 1e-9
+    assert abs(r["space_ratio"] - 1 / 6) < 1e-9
+
+
+def test_quality_score_orders_quality(spark):
+    good = "the cat sat on the mat and the dog ran to the park " * 8
+    bad = "zz zz zz zz zz"
+    df = spark.createDataFrame([(good,), (bad,), (None,)], ["t"])
+    s = [r["q"] for r in df.select(X.quality_score(F.col("t")).alias("q")).collect()]
+    assert s[0] > s[1] and s[2] is None
+
+
+def test_fingerprint_normalisation(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",), ("other",)], ["t"])
+    fps = [r["f"] for r in df.select(X.fingerprint(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+    md5s = [r["f"] for r in df.select(X.fingerprint_md5(F.col("t")).alias("f")).collect()]
+    assert md5s[0] == md5s[1] != md5s[2]
+
+
+def test_profile_operators(spark):
+    df = spark.createDataFrame(
+        [("Red",), ("red",), (" red ",), ("blue",), (None,)], ["colour"]
+    )
+    ns = P.null_stats(df, "colour").collect()[0]
+    assert (ns["n_rows"], ns["n_notnull"], ns["n_null"], ns["n_distinct"]) == (5, 4, 1, 4)
+    vc = P.value_counts(df, "colour", top=2).collect()
+    assert vc[0]["n"] == 1  # all singletons; deterministic tiebreak by value
+    cv = P.case_variant_groups(df, "colour").collect()
+    assert len(cv) == 1 and cv[0]["normalized"] == "red" and cv[0]["n_variants"] == 3
+    ws = P.whitespace_variants(df, "colour").collect()[0]
+    assert ws["n_whitespace_variants"] == 1
+
+
+def test_multimodal_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        M.decode_image_bytes(b"abc")
+
+
+def test_multimodal_pipeline_deterministic(spark):
+    pages = generate_pages(spark, 64, partitions=4)
+    media = M.pages_to_media(pages)
+    meta = M.extract_image_metadata(media, deterministic_fake=True)
+    a = meta.toPandas().sort_values("media_id").reset_index(drop=True)
+    b = (
+        M.extract_image_metadata(M.pages_to_media(generate_pages(spark, 64, partitions=2)),
+                                 deterministic_fake=True)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)  # partition-count invariant
+    present = a[a["n_bytes"].notna()]
+    assert (present["features"].map(len) == M.FEATURE_DIM).all()
+    assert (present["width"] >= 64).all()
+    # null payloads flow through as null metadata
+    assert a["n_bytes"].isna().sum() == 1  # one injected null html in 64 docs (id 13)
+
+
+def test_frame_sample_plan(spark):
+    pages = generate_pages(spark, 32, partitions=2)
+    media = M.pages_to_media(pages).withColumn("kind", F.lit("video"))
+    plan = M.frame_sample_plan(media, every_n_seconds=5)
+    pdf = plan.toPandas()
+    assert (pdf["frame_ts"] % 5 == 0).all()
+    assert pdf.groupby("media_id")["frame_ts"].min().eq(0).all()
