@@ -75,8 +75,12 @@ class LangIdModel:
                 claimed_scores.append(None)
                 continue
             b = _ngram_buckets(text)
-            counts = np.bincount(b, minlength=N_BUCKETS).astype(np.float32)
-            logp = self.log_priors + self.log_probs @ counts
+            # sparse gather: a doc touches ~10³ of the 2¹⁴ buckets, so
+            # lp[:, uniq] @ cnts moves ~6× less memory than a dense
+            # bincount + full matvec — this is what makes the UDF scale
+            # with cores instead of saturating memory bandwidth
+            uniq, cnts = np.unique(b, return_counts=True)
+            logp = self.log_priors + self.log_probs[:, uniq] @ cnts.astype(np.float32)
             logp -= logp.max()
             post = np.exp(logp)
             post /= post.sum()

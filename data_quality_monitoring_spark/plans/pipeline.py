@@ -51,7 +51,7 @@ def quality_filter(
     ml_threshold: float = 0.7,
     llm_threshold: float = 6.0,
     thresholds: dict[str, float] | None = None,
-    regex_engine: str = "native",
+    regex_engine: str = "auto",
     with_all_findings: bool = False,
 ) -> DataFrame:
     """Attach findings, verdict, keep flag and scrubbed text to a pages df.

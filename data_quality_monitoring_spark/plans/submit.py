@@ -37,7 +37,7 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--chunk-buckets", type=int, default=16)
     p.add_argument("--combine", choices=["priority", "weighted"], default="priority")
-    p.add_argument("--regex-engine", choices=["native", "python"], default="native")
+    p.add_argument("--regex-engine", choices=["auto", "native", "python"], default="auto")
     return p.parse_args(argv)
 
 

@@ -144,7 +144,7 @@ def _spark_codes(spark, values, rules, engine):
     return [None if f is None else f["code"] for f in out["f"]]
 
 
-@pytest.mark.parametrize("engine", ["native", "python"])
+@pytest.mark.parametrize("engine", ["native", "python", "auto"])
 def test_rule_types_match_oracle(spark, engine):
     for rules, cases in CASES:
         values = [v for v, _ in cases]

@@ -1,0 +1,120 @@
+"""Scaling-efficiency evidence: the same quality-filter job at two
+parallelism levels on identical input.
+
+The north rule's two-cluster-size criterion (N vs 4N executors, efficiency
+≥ 0.8) cannot use a real cluster in this sandbox, so — per BASELINE.md — we
+run the identical job at local[8] and local[32] and report throughput at
+both plus efficiency = (T_8 / T_32) / 4.
+
+Each level runs in its OWN subprocess (one JVM per measurement —
+getOrCreate would silently reuse the first master).  The job is the full
+pipeline (rules + pattern + langid + perplexity + verdict + scrub) over a
+deterministic corpus large enough that fixed costs don't dominate, with one
+warm-up pass before the timed pass.
+
+Usage: python tools/scaling_bench.py [n_docs] → prints one JSON line and
+rewrites the results table in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+DATA = REPO / ".scratch" / "scaling_pages"
+
+JOB = r"""
+import json, sys, time
+sys.path.insert(0, "{repo}")
+from data_quality_monitoring_spark.session import get_spark
+from data_quality_monitoring_spark.plans.pipeline import quality_filter
+
+cores = int(sys.argv[1])
+# scan splits sized so BOTH levels get multiple task waves (the input is
+# small; at 100 TB real splits abound — locally we must force them)
+spark = get_spark(app_name=f"scale_{{cores}}", cores=cores, shuffle_partitions=cores,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false",
+                               "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+                               "spark.sql.files.openCostInBytes": str(1024 * 1024)}})
+pages = spark.read.parquet("{data}")
+n = pages.count()
+# build the plan (and its model broadcasts) ONCE; time only the execution
+res = quality_filter(spark, pages).select("url", "keep", "text_scrubbed")
+
+def once():
+    t0 = time.time()
+    res.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+once()  # warm-up: JVM JIT, python workers, broadcast shipping
+wall = min(once(), once())  # best of two timed passes
+print(json.dumps({{"cores": cores, "n_docs": n, "wall_sec": round(wall, 3),
+                   "docs_per_sec": round(n / wall, 1)}}))
+"""
+
+
+def ensure_corpus(n_docs: int) -> None:
+    if DATA.exists():
+        return
+    sys.path.insert(0, str(REPO))
+    from data_quality_monitoring_spark.datagen import generate_pages
+    from data_quality_monitoring_spark.session import get_spark
+
+    spark = get_spark(cores=32, extra_conf={"spark.ui.showConsoleProgress": "false"})
+    generate_pages(spark, n_docs, partitions=64).write.parquet(str(DATA))
+    spark.stop()
+
+
+def run_level(cores: int) -> dict:
+    job = JOB.format(repo=REPO, data=DATA)
+    # taskset pins the WHOLE process tree (JVM + python UDF workers) to
+    # `cores` CPUs — without it, local[8]'s python workers overflow onto
+    # spare cores of the 32-CPU host and inflate the small-cluster baseline
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", job, str(cores)],
+        capture_output=True, text=True, timeout=1200, cwd=str(REPO),
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    ensure_corpus(n_docs)
+    r8 = run_level(8)
+    r32 = run_level(32)
+    efficiency = (r8["wall_sec"] / r32["wall_sec"]) / 4
+    result = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "value": round(efficiency, 3),
+        "unit": "fraction",
+        "n_docs": r8["n_docs"],
+        "local8": r8,
+        "local32": r32,
+    }
+    print(json.dumps(result))
+    bench_md = REPO / "BENCH.md"
+    bench_md.write_text(
+        "# BENCH — throughput + scaling efficiency\n\n"
+        "Full quality-filter pipeline (rules + pattern + langid + perplexity\n"
+        "→ priority verdict → PII scrub) over the deterministic synthetic\n"
+        "corpus; identical input at both parallelism levels; one JVM per\n"
+        "measurement, warm-up pass excluded, best of two timed passes.\n\n"
+        f"| config | docs | wall (s) | docs/sec |\n|---|---|---|---|\n"
+        f"| local[8]  | {r8['n_docs']:,} | {r8['wall_sec']} | {r8['docs_per_sec']:,} |\n"
+        f"| local[32] | {r32['n_docs']:,} | {r32['wall_sec']} | {r32['docs_per_sec']:,} |\n\n"
+        f"**Scaling efficiency (8→32 cores, = (T8/T32)/4): {efficiency:.3f}** "
+        f"(target ≥ 0.8 per BASELINE.json).\n\n"
+        "Reference baseline (BASELINE.md): the reference's rule-validation\n"
+        "path alone runs ~1k records/s/core single-process; this pipeline\n"
+        "runs all four detector families + scrub end-to-end.\n\n"
+        "Reproduce: `python tools/scaling_bench.py`.\n"
+    )
+
+
+if __name__ == "__main__":
+    main()
