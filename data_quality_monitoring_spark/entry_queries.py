@@ -724,6 +724,95 @@ FROM g GROUP BY user_id
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (subtotals + grand total) — Catalyst expands the
+    grouping sets; one shuffle."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"), "n", "total_value")
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY ROLLUP (event_type)
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total (ordered window) — partition by a key the data
+    spreads well; AQE handles residual skew."""
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running_value")
+    )
+
+
+SQL_WINDOW_RUNNING_SUM = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per type (row_number window, full tiebreak)."""
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "event_id", F.round("value", 2).alias("value"), "rank")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+)
+SELECT event_type, event_id, round(value, 2) AS value, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + aggregate — the pushdown showcase (all three
+    predicates reach the parquet scan as PushedFilters)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
 # ---------------------------------------------------------------- relational baseline
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,6 +945,10 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
+    "events_rollup": q_events_rollup,
+    "window_running_sum": q_window_running_sum,
+    "topk_per_group": q_topk_per_group,
+    "tpch_q6": q_tpch_q6,
     "tpch_q1": q_tpch_q1,
     "revenue_by_nation": q_revenue_by_nation,
     "langid_scores": q_langid_scores,
@@ -884,6 +977,10 @@ ORACLES = {
     "token_bpeish": SQL_TOKEN_BPEISH,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_rollup": SQL_EVENTS_ROLLUP,
+    "window_running_sum": SQL_WINDOW_RUNNING_SUM,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "tpch_q6": SQL_TPCH_Q6,
     "tpch_q1": SQL_TPCH_Q1,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     # langid_scores / perplexity_scores / pipeline_verdict: model scorers,

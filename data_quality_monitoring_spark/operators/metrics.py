@@ -27,16 +27,19 @@ def confusion_matrix(
     n_rows: int,
     n_fields: int = 1,
     group_cols: list[str] | None = None,
+    join_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Score detections against injected ground truth on (url, field).
+    """Score detections against injected ground truth on ``join_cols``
+    (default (url, field); multi-sample evaluation adds sample_id).
 
-    ``detected``/``injected`` need columns url, field (+ any group_cols,
+    ``detected``/``injected`` need the join columns (+ any group_cols,
     taken from either side).  Returns TP/FP/FN/TN + precision/recall/f1
-    (one row, or one per group).
-    """
-    d = detected.select("url", "field", *(group_cols or [])).withColumn("_d", F.lit(1))
-    i = injected.select("url", "field").withColumn("_i", F.lit(1))
-    j = d.join(i, ["url", "field"], "full_outer")
+    (one row, or one per group)."""
+    join_cols = join_cols or ["url", "field"]
+    extra = [c for c in (group_cols or []) if c not in join_cols]
+    d = detected.select(*join_cols, *extra).withColumn("_d", F.lit(1))
+    i = injected.select(*join_cols).withColumn("_i", F.lit(1))
+    j = d.join(i, join_cols, "full_outer")
     tp = F.sum((F.col("_d").isNotNull() & F.col("_i").isNotNull()).cast("long")).alias("tp")
     fp = F.sum((F.col("_d").isNotNull() & F.col("_i").isNull()).cast("long")).alias("fp")
     fn = F.sum((F.col("_d").isNull() & F.col("_i").isNotNull()).cast("long")).alias("fn")
