@@ -69,6 +69,37 @@ _WORDSTAT_TYPES = {
 
 _WS = r"[ \t\n\r\f\v]"  # keep Java/Python/RE2 whitespace classes aligned
 
+# Extension point (reference ValidatorInterface._validate_entry +
+# 'module:Class' dynamic loading, SURVEY.md §2.10): custom predicates are
+# REGISTERED by name instead of dynamically imported on executors — the
+# closure ships with the UDF, no import machinery in the task.  A custom
+# predicate is a vectorised callable pd.Series[str] -> pd.Series[bool]
+# (True = rule fires); reference it from a ruleset as
+# {"type": "custom", "predicate": "<registered name>", ...}.
+CUSTOM_PREDICATES: dict = {}
+
+
+def register_predicate(name: str):
+    def deco(fn):
+        import sys
+
+        mod = sys.modules.get(fn.__module__)
+        if mod is not None and not (mod.__name__ or "").startswith(
+            "data_quality_monitoring_spark"
+        ):
+            # predicates defined outside the shipped package (notebooks,
+            # tests) must pickle BY VALUE or executors can't import them
+            try:
+                from pyspark import cloudpickle  # the serializer Spark uses
+
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+        CUSTOM_PREDICATES[name] = fn
+        return fn
+
+    return deco
+
 
 def load_ruleset(path: str | Path) -> list[dict]:
     spec = json.loads(Path(path).read_text())
@@ -90,6 +121,11 @@ def _native_predicate(col: Column, rule: dict) -> Column:
     """Compile one rule to a boolean Column (fires == True). Null-unsafe:
     callers wrap with the isNotNull guard."""
     rt = rule["type"]
+    if rt == "custom":
+        raise ValueError(
+            "custom rules need the batched engine (regex_engine='auto' or "
+            "'python'); they are Python predicates and have no native form"
+        )
     if rt == "missing":
         return col.isNull()
     if rt == "type_check":
@@ -270,7 +306,16 @@ def _batch_bitmask_udf(rules: list[dict], include: set[str]):
 
     The word split is computed ONCE per batch and shared by all word-stat
     rules; regex rules use pandas' Python-`re`-backed string methods."""
-    batch_rules = [(i, r) for i, r in enumerate(rules) if r["type"] in include]
+    # resolve custom predicates NOW (driver-side): the registry is not
+    # populated on executors, so the function itself must ride the closure
+    batch_rules = [
+        (
+            i,
+            {**r, "_fn": CUSTOM_PREDICATES[r["predicate"]]} if r["type"] == "custom" else r,
+        )
+        for i, r in enumerate(rules)
+        if r["type"] in include
+    ]
     needs_words = any(r["type"] in _WORDSTAT_TYPES for _, r in batch_rules)
 
     @F.pandas_udf(T.LongType())
@@ -283,6 +328,8 @@ def _batch_bitmask_udf(rules: list[dict], include: set[str]):
             rt = rule["type"]
             if rt in _REGEX_TYPES:
                 fire = _python_regex_fire(rule, s)
+            elif rt == "custom":
+                fire = rule["_fn"](s)
             elif rt == "max_line_dup_ratio":
                 r = float(rule["max_ratio"])
 
@@ -313,7 +360,7 @@ def compile_predicates(
     if regex_engine == "native":
         batched: set[str] = set()
     else:
-        batched = _REGEX_TYPES | _WORDSTAT_TYPES
+        batched = _REGEX_TYPES | _WORDSTAT_TYPES | {"custom"}
     bitmask_col = None
     if batched and any(r["type"] in batched for r in rules):
         bitmask_col = _batch_bitmask_udf(rules, batched)(col)

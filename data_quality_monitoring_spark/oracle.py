@@ -94,6 +94,10 @@ def rule_first_hit(value, rules: list[dict]) -> dict | None:
         elif rt == "contradiction_check":
             t = v.lower()
             fired = any(a.lower() in t and b.lower() in t for a, b in rule["contradiction_pairs"])
+        elif rt == "custom":
+            from .operators.rules import CUSTOM_PREDICATES
+
+            fired = bool(CUSTOM_PREDICATES[rule["predicate"]](pd.Series([v])).iloc[0])
         elif rt == "type_check":
             if rule.get("expected_type", "string") in ("numeric", "float", "int"):
                 try:

@@ -53,38 +53,44 @@ def quality_filter(
     thresholds: dict[str, float] | None = None,
     regex_engine: str = "auto",
     with_all_findings: bool = False,
+    methods: list[str] | None = None,
 ) -> DataFrame:
     """Attach findings, verdict, keep flag and scrubbed text to a pages df.
 
     Output columns: url, warc_ts, lang, text, validation/pattern/ml/llm
     finding structs, verdict struct, keep boolean, text_scrubbed.
+
+    ``methods`` prunes detector families before the plan is built — the
+    reference's capability probing (``comprehensive_detector.py:222-260``)
+    as plan pruning: a disabled model scorer never even adds its pandas-UDF
+    stage.
     """
     rules = rules if rules is not None else default_rules()
     pattern_cfg = pattern_cfg if pattern_cfg is not None else default_pattern_cfg()
+    methods = methods if methods is not None else ["validation", "pattern", "ml", "llm"]
 
     text, lang = F.col("text"), F.col("lang")
-    lid = L.langid_struct(spark, get_langid_model(), text, lang)
-    ppl = P.perplexity_column(spark, get_bigram_models(), text, lang)
-
-    df = pages.withColumns(
-        {
-            "f_validation": first_hit(text, rules, regex_engine),
-            "f_pattern": pattern_finding(lang, pattern_cfg),
-            "langid": lid,
-            "ppl_score": ppl,
-        }
-    )
-    df = df.withColumns(
-        {
-            "f_ml": L.langid_finding(F.col("langid"), ml_threshold),
-            "f_llm": P.perplexity_finding(F.col("ppl_score"), llm_threshold),
-        }
-    )
+    cols: dict[str, Column] = {}
+    if "validation" in methods:
+        cols["f_validation"] = first_hit(text, rules, regex_engine)
+    if "pattern" in methods:
+        cols["f_pattern"] = pattern_finding(lang, pattern_cfg)
+    if "ml" in methods:
+        cols["langid"] = L.langid_struct(spark, get_langid_model(), text, lang)
+    if "llm" in methods:
+        cols["ppl_score"] = P.perplexity_column(spark, get_bigram_models(), text, lang)
+    df = pages.withColumns(cols)
+    stage2: dict[str, Column] = {}
+    if "ml" in methods:
+        stage2["f_ml"] = L.langid_finding(F.col("langid"), ml_threshold)
+    if "llm" in methods:
+        stage2["f_llm"] = P.perplexity_finding(F.col("ppl_score"), llm_threshold)
+    if stage2:
+        df = df.withColumns(stage2)
     findings: dict[str, Column] = {
-        "validation": F.col("f_validation"),
-        "pattern": F.col("f_pattern"),
-        "ml": F.col("f_ml"),
-        "llm": F.col("f_llm"),
+        m: F.col(f"f_{m}")
+        for m in ("validation", "pattern", "ml", "llm")
+        if m in methods
     }
     verdict = (
         priority_verdict(findings, thresholds)
