@@ -20,7 +20,6 @@ binary memory-mapped per executor — same contract, same plan shape).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -58,21 +57,43 @@ class BigramLM:
     lam: float = 0.7
     v_smooth: float = 10_000.0
 
+    def __post_init__(self) -> None:
+        # vectorised lookup structures: bigram counts as a SORTED flat-key
+        # array probed with searchsorted — per-token numpy instead of a
+        # Python dict hit per bigram (the hot path of the UDF)
+        v = len(self.ctx)
+        keys = np.fromiter(
+            (p * v + c for p, c in self.bi), dtype=np.int64, count=len(self.bi)
+        )
+        vals = np.fromiter(self.bi.values(), dtype=np.float64, count=len(self.bi))
+        order = np.argsort(keys)
+        self._bi_keys = keys[order]
+        self._bi_vals = vals[order]
+        self._v = v
+
     def nll(self, text: str) -> float:
         toks = _tokens(text)
         if not toks:
             return ERROR_SCORE
-        ids = [self.vocab.get(t, UNK_ID) for t in toks]
-        prev = self.vocab.get(BOS, UNK_ID)
-        uni_denom = self.n_tokens + self.k * self.v_smooth
-        total = 0.0
-        for cur in ids:
-            c_prev = self.ctx[prev]
-            p_bi = (self.bi.get((prev, cur), 0.0) / c_prev) if c_prev > 0 else 0.0
-            p_uni = (self.word[cur] + self.k) / uni_denom
-            total += -math.log(self.lam * p_bi + (1.0 - self.lam) * p_uni)
-            prev = cur
-        return total / len(ids)
+        ids = np.fromiter(
+            (self.vocab.get(t, UNK_ID) for t in toks), dtype=np.int64, count=len(toks)
+        )
+        prev = np.empty_like(ids)
+        prev[0] = self.vocab.get(BOS, UNK_ID)
+        prev[1:] = ids[:-1]
+        keys = prev * self._v + ids
+        if len(self._bi_keys):
+            pos = np.minimum(
+                np.searchsorted(self._bi_keys, keys), len(self._bi_keys) - 1
+            )
+            c_bi = np.where(self._bi_keys[pos] == keys, self._bi_vals[pos], 0.0)
+        else:
+            c_bi = np.zeros(len(ids), dtype=np.float64)
+        c_prev = self.ctx[prev]
+        p_bi = np.divide(c_bi, c_prev, out=np.zeros_like(c_bi), where=c_prev > 0)
+        p_uni = (self.word[ids] + self.k) / (self.n_tokens + self.k * self.v_smooth)
+        nlls = -np.log(self.lam * p_bi + (1.0 - self.lam) * p_uni)
+        return float(nlls.sum() / len(ids))
 
 
 def train_bigram(texts: list[str], max_vocab: int = 50_000, k: float = 0.5) -> BigramLM:

@@ -67,6 +67,11 @@ _WORDSTAT_TYPES = {
     "max_line_dup_ratio",
 }
 
+# char-class ratio rules: native regexp_replace costs one full text pass
+# per rule on the JVM side; in the batch UDF they are one vectorised C
+# str.count over the already-hot string
+_CHARSTAT_TYPES = {"max_digit_ratio", "max_symbol_ratio", "min_alpha_ratio"}
+
 _WS = r"[ \t\n\r\f\v]"  # keep Java/Python/RE2 whitespace classes aligned
 
 # Extension point (reference ValidatorInterface._validate_entry +
@@ -330,6 +335,18 @@ def _batch_bitmask_udf(rules: list[dict], include: set[str]):
                 fire = _python_regex_fire(rule, s)
             elif rt == "custom":
                 fire = rule["_fn"](s)
+            elif rt in _CHARSTAT_TYPES:
+                n = s.str.len()
+                if rt == "max_digit_ratio":
+                    fire = (n > 0) & (s.str.count(r"[0-9]") / n > float(rule["max_ratio"]))
+                elif rt == "max_symbol_ratio":
+                    fire = (n > 0) & (
+                        s.str.count(r"[^0-9A-Za-z \t\n\r\f\v]") / n > float(rule["max_ratio"])
+                    )
+                else:  # min_alpha_ratio
+                    fire = (n > 0) & (
+                        s.str.count(r"[A-Za-z]") / n < float(rule["min_ratio"])
+                    )
             elif rt == "max_line_dup_ratio":
                 r = float(rule["max_ratio"])
 
@@ -360,7 +377,7 @@ def compile_predicates(
     if regex_engine == "native":
         batched: set[str] = set()
     else:
-        batched = _REGEX_TYPES | _WORDSTAT_TYPES | {"custom"}
+        batched = _REGEX_TYPES | _WORDSTAT_TYPES | _CHARSTAT_TYPES | {"custom"}
     bitmask_col = None
     if batched and any(r["type"] in batched for r in rules):
         bitmask_col = _batch_bitmask_udf(rules, batched)(col)

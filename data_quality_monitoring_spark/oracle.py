@@ -195,6 +195,8 @@ def label_pages(
     ml_threshold: float = 0.7,
     llm_threshold: float = 6.0,
     thresholds: dict[str, float] | None = None,
+    combine: str = "priority",
+    weighted_cutoff: float = 0.3,
 ) -> pd.DataFrame:
     """Full oracle: per-url keep/drop + verdict + byte-exact text_scrubbed."""
     thresholds = thresholds or DEFAULT_THRESHOLDS
@@ -228,15 +230,38 @@ def label_pages(
                     "probability": min(nll / 10.0, 1.0),
                 }
         verdict = None
-        for method in ("validation", "pattern", "ml", "llm"):
-            f = findings[method]
-            if f is not None and f["probability"] >= thresholds[method]:
-                verdict = {
-                    "status": "ERROR" if method == "validation" else "ANOMALY",
-                    "method": method,
-                    **f,
+        if combine == "priority":
+            for method in ("validation", "pattern", "ml", "llm"):
+                f = findings[method]
+                if f is not None and f["probability"] >= thresholds[method]:
+                    verdict = {
+                        "status": "ERROR" if method == "validation" else "ANOMALY",
+                        "method": method,
+                        **f,
+                    }
+                    break
+        else:  # weighted (reference comprehensive_detector.py:615-777)
+            fv = findings["validation"]
+            if fv is not None and fv["probability"] >= thresholds["validation"]:
+                verdict = {"status": "ERROR", "method": "validation", **fv}
+            else:
+                anomaly_methods = ["pattern", "ml", "llm"]
+                gated = {
+                    m: findings[m]
+                    for m in anomaly_methods
+                    if findings[m] is not None
+                    and findings[m]["probability"] >= thresholds[m]
                 }
-                break
+                score = sum(f["probability"] / 3.0 for f in gated.values())
+                if score >= weighted_cutoff and gated:
+                    best_m = max(gated, key=lambda m: gated[m]["probability"])
+                    verdict = {
+                        "status": "ANOMALY",
+                        "method": best_m,
+                        "rule": gated[best_m]["rule"],
+                        "code": gated[best_m]["code"],
+                        "probability": min(score, 1.0),
+                    }
         rows.append(
             {
                 "url": page["url"],
