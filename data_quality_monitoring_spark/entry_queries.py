@@ -787,6 +787,26 @@ SELECT event_type, event_id, round(value, 2) AS value, rank FROM r WHERE rank <=
 """
 
 
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a key out of the JSON props column
+    (details-dict parity — the reference keeps free-form JSON details,
+    anomaly_error.py:68-95) and aggregate it."""
+    e = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.sum((k > 50).cast("long")).alias("n_k_gt_50"),
+    )
+
+
+SQL_EVENTS_JSON = """
+SELECT event_type,
+       round(avg(json_extract_string(props, '$.k')::DOUBLE), 4) AS avg_k,
+       sum(CASE WHEN json_extract_string(props, '$.k')::DOUBLE > 50 THEN 1 ELSE 0 END)::BIGINT AS n_k_gt_50
+FROM events GROUP BY event_type
+"""
+
+
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure filter + aggregate — the pushdown showcase (all three
     predicates reach the parquet scan as PushedFilters)."""
@@ -946,6 +966,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_rollup": q_events_rollup,
+    "events_json": q_events_json,
     "window_running_sum": q_window_running_sum,
     "topk_per_group": q_topk_per_group,
     "tpch_q6": q_tpch_q6,
@@ -978,6 +999,7 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_rollup": SQL_EVENTS_ROLLUP,
+    "events_json": SQL_EVENTS_JSON,
     "window_running_sum": SQL_WINDOW_RUNNING_SUM,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "tpch_q6": SQL_TPCH_Q6,

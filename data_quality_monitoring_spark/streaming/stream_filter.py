@@ -59,6 +59,43 @@ def start_filter(
     return writer.trigger(**trigger).start()
 
 
+def deduped_stream(spark: SparkSession, pages_stream: DataFrame) -> DataFrame:
+    """Streaming exact dedup by url: native ``dropDuplicates`` with a
+    watermark bounds the dedup state — the streaming twin of
+    operators/dedup.exact_dedup."""
+    return pages_stream.withWatermark("warc_ts", "1 hour").dropDuplicates(["url"])
+
+
+def stateful_host_stats(spark: SparkSession, pages_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-host page/drop counts maintained across micro-batches (the
+    'custom stateful operators' slot of the brief)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    res = quality_filter(spark, pages_stream).select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        F.col("keep"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        total, dropped = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            total += len(pdf)
+            dropped += int((~pdf["keep"]).sum())
+        state.update((total, dropped))
+        import pandas as pd
+
+        yield pd.DataFrame({"host": [key[0]], "n_pages": [total], "n_dropped": [dropped]})
+
+    return res.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType="host string, n_pages long, n_dropped long",
+        stateStructType="total long, dropped long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_fire_counts(
     spark: SparkSession, pages_stream: DataFrame, window: str = "1 hour"
 ) -> DataFrame:

@@ -57,3 +57,62 @@ def test_stream_incremental_files(spark, tmp_path):
     q2 = start_filter(spark, in_dir, out_dir, ckpt, available_now=True)
     q2.awaitTermination(300)
     assert spark.read.parquet(out_dir).count() == 480
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from data_quality_monitoring_spark.streaming.stream_filter import (
+        deduped_stream,
+        read_page_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    pages = generate_pages(spark, 160, partitions=2)
+    # duplicate every page once
+    pages.unionAll(pages).write.parquet(in_dir)
+    out = deduped_stream(spark, read_page_stream(spark, in_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_t")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select count(*) n, count(distinct url) d from dedup_t").collect()[0]
+    assert got["n"] == got["d"] == 160
+
+
+def test_stateful_host_stats(spark, tmp_path):
+    from data_quality_monitoring_spark.streaming.stream_filter import (
+        read_page_stream,
+        stateful_host_stats,
+    )
+
+    in_dir = str(tmp_path / "in")
+    generate_pages(spark, 320, partitions=2).write.parquet(in_dir)
+    out = stateful_host_stats(spark, read_page_stream(spark, in_dir, max_files=1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hosts_t")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import pandas as pd
+
+    upd = spark.sql("select * from hosts_t").toPandas()
+    # last update per host must equal the batch ground truth
+    final = upd.groupby("host").agg({"n_pages": "max", "n_dropped": "max"})
+    truth = (
+        quality_filter(spark, spark.read.parquet(in_dir))
+        .groupBy(F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"))
+        .agg(F.count("*").alias("n_pages"), F.sum((~F.col("keep")).cast("long")).alias("n_dropped"))
+        .toPandas()
+        .set_index("host")
+    )
+    joined = final.join(truth, lsuffix="_s", rsuffix="_t")
+    assert (joined["n_pages_s"] == joined["n_pages_t"]).all()
+    assert (joined["n_dropped_s"] == joined["n_dropped_t"]).all()
