@@ -602,7 +602,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FINGERPRINT = (
-    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS fp "
+    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS fp "
     "FROM documents"
 )
 
@@ -622,7 +622,7 @@ def q_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_BPEISH = """
 WITH t AS (
   SELECT source,
-         len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\v])', 1)) AS nt
+         len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0B])', 1)) AS nt
   FROM documents
 )
 SELECT source, sum(nt)::BIGINT AS total_tokens, round(avg(nt), 4) AS avg_tokens

@@ -72,7 +72,7 @@ _WORDSTAT_TYPES = {
 # str.count over the already-hot string
 _CHARSTAT_TYPES = {"max_digit_ratio", "max_symbol_ratio", "min_alpha_ratio"}
 
-_WS = r"[ \t\n\r\f\v]"  # keep Java/Python/RE2 whitespace classes aligned
+_WS = r"[ \t\n\r\f\x0B]"  # NOT \v: Java \v is a CLASS (incl. \x85); \x0B is the same char in every engine
 
 # Extension point (reference ValidatorInterface._validate_entry +
 # 'module:Class' dynamic loading, SURVEY.md §2.10): custom predicates are

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_WS = r"[ \t\n\r\f\v]"
+_WS = r"[ \t\n\r\f\x0B]"  # \x0B not \v: Java \v is a class, see rules.py
 
 DEFAULT_STOPWORDS = [
     "the", "a", "of", "and", "to", "in", "is", "was", "for", "that", "it",
