@@ -29,6 +29,9 @@ HEADLINE = [
     "scrub_pii",
     "dedup_minhash",
     "dedup_jaccard",
+    "dedup_simhash",
+    "embedding_near_dup",
+    "multifield_cells",
     "similarity_topk",
     "centroid_similarity",
     "events_hourly",

@@ -348,15 +348,28 @@ SELECT band, sum(sz * (sz - 1) // 2)::BIGINT AS n_candidate_pairs FROM (
 """
 
 
+JACCARD_DF_CAP = 50  # drop shingles shared by more docs (boilerplate guard)
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: per document, how many others share ≥ 0.5
     Jaccard over 3-word shingle sets.  Equi-join on shingle → pair intersect
-    counts → set-size algebra; the join key (shingle) is high-cardinality so
-    the shuffle is well-spread."""
+    counts → set-size algebra.
+
+    Scale guard: shingles with document frequency > JACCARD_DF_CAP are
+    dropped BEFORE the self-join (and from the set sizes, so the Jaccard
+    stays self-consistent) — one boilerplate shingle shared by 10⁵ docs
+    would otherwise create a 10¹⁰-pair bucket.  The cap is mirrored in the
+    DuckDB oracle; on the contract data max df = 7, so the capped answer
+    equals the uncapped one.  Skew-bound test: tests/test_dedup.py
+    test_jaccard_df_cap_bounds_skew."""
+    from .operators.dedup import cap_shingle_df
+
     d = _read(spark, sf_dir, "documents")
-    # persist the exploded shingles: sizes + the self-join both consume it,
-    # and recomputing the explode is the dominant cost of this query
-    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")).persist()
+    # persist the exploded shingles: df-filter, sizes and the self-join all
+    # consume it, and recomputing the explode dominates this query's cost
+    raw = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")).persist()
+    sh = cap_shingle_df(raw, JACCARD_DF_CAP)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -379,8 +392,11 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_JACCARD = f"""
 WITH t AS (
   SELECT doc_id, {_WORDS_SQL.format(c="text")} AS words FROM documents
-), sh AS (
+), raw AS (
   SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM t
+), sh AS (
+  SELECT doc_id, shingle FROM raw
+  WHERE shingle IN (SELECT shingle FROM raw GROUP BY shingle HAVING count(*) <= {JACCARD_DF_CAP})
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ), inter AS (
@@ -631,35 +647,184 @@ FROM t GROUP BY source
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: FNV bit kernel isn't SQL-portable)."""
+    """SimHash near-dup pairs.
+
+    ORACLED: the word hash is an md5 prefix, so DuckDB recomputes the exact
+    64-bit simhash in SQL (per-bit sign-sums) and brute-forces all pairs —
+    a genuine second implementation.  Equality holds because the Spark
+    side's pigeonhole block-permutation candidate generation is EXACT for
+    max_hamming < n_blocks (every qualifying pair shares a block)."""
     from .operators.dedup import simhash_near_dup_pairs
 
     d = _read(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(d, "doc_id", max_hamming=3)
 
 
+SQL_DEDUP_SIMHASH = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+')) AS wl
+  FROM documents WHERE text IS NOT NULL
+), w AS (
+  SELECT doc_id, unnest(wl) AS word FROM t
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h
+  FROM w WHERE word <> ''
+), acc AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) bits
+  GROUP BY doc_id, bit
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN
+               CASE WHEN bit = 63 THEN -9223372036854775808 ELSE (1::BIGINT << bit) END
+             ELSE 0 END)::BIGINT AS v
+  FROM acc GROUP BY doc_id
+)
+SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.v, b.v)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.v, b.v)) <= 3
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup via hyperplane LSH (rows-only)."""
+    """Embedding-cosine near-dup via multi-table hyperplane LSH.
+
+    The driver embeddings table has no pairs above cos 0.8 (measured), so
+    the query plants a deterministic near-dup family: vec_id < 40 get a
+    perturbed twin ``v' = v + 0.25·rot(v)`` (rot = cyclic shift — pure
+    list arithmetic both engines express identically).  Planted pairs land
+    at cos ≈ 0.968–0.975 vs a max non-planted pair of 0.51, so threshold
+    0.9 has wide margins on both sides.
+
+    Oracled: the LSH OR-construction's recall at this margin is
+    1 − (1−p⁴)⁸ ≈ 0.99996 per pair and verified exhaustive on this exact
+    dataset, so the output equals the brute-force all-pairs answer the
+    DuckDB oracle computes."""
     from .operators.dedup import embedding_near_dup_pairs
 
     e = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, "vec_id", threshold=0.9)
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    rot = F.concat(F.slice("embedding", 2, 1_000_000), F.slice("embedding", 1, 1))
+    dup = base.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with("embedding", rot, lambda x, y: x + F.lit(0.25) * y).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        base.unionAll(dup), "vec_id", threshold=0.9, round_to=5
+    ).orderBy("a", "b")
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), dup AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(list_zip(v, list_concat(v[2:], [v[1]])),
+                        t -> t[1] + 0.25 * t[2]) AS v
+  FROM base WHERE vec_id < 40
+), allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM dup
+), pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+          * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT a, b, round(cos, 5) AS cos FROM pairs WHERE cos >= 0.9 ORDER BY a, b
+"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (rows-only; exactness is covered by
-    similarity_topk's oracle and tests pin IVF recall vs the exact path)."""
+    """IVF approximate top-k, ORACLED with deterministic centroids.
+
+    Instead of k-means (numpy, not SQL-expressible) the coarse quantizer is
+    seeded directly from corpus vectors 100..107, L2-normalized — which the
+    DuckDB oracle recomputes exactly, replicating cell assignment (argmax,
+    ties → lower cell), 4-cell probing, and in-cell exact ranking.  The
+    k-means path keeps its own recall-pinned pytest (test_similarity)."""
+    import numpy as np
+
     from .operators.similarity import ivf_topk
 
     e = _read(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return ivf_topk(e, q, "vec_id", "embedding", k=5, n_cells=8, n_probe=4)
+    seeds = (
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = np.asarray([r["embedding"] for r in seeds], dtype="float64")
+    cents = cents / np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
+    return ivf_topk(
+        e, q, "vec_id", "embedding", k=5, n_cells=8, n_probe=4, centroids=cents, round_to=5
+    )
+
+
+SQL_ANN_IVF = """
+WITH seeds AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id BETWEEN 100 AND 107
+), norms AS (
+  SELECT vec_id, v, greatest(sqrt(list_sum(list_transform(v, x -> x * x))), 1e-12) AS nrm
+  FROM seeds
+), cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(v, x -> x / nrm) AS cv
+  FROM norms
+), corpus AS (
+  SELECT vec_id AS neighbor, list_transform(embedding, x -> x::DOUBLE) AS nv FROM embeddings
+), assign AS (
+  SELECT neighbor, nv, cell,
+         row_number() OVER (PARTITION BY neighbor ORDER BY sim DESC, cell ASC) AS rn
+  FROM (
+    SELECT c.neighbor, c.nv, ct.cell,
+           list_sum(list_transform(list_zip(c.nv, ct.cv), p -> p[1] * p[2])) AS sim
+    FROM corpus c CROSS JOIN cent ct
+  )
+), corpus_cell AS (
+  SELECT neighbor, nv, cell FROM assign WHERE rn = 1
+), qprobe AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.vec_id AS qid, list_transform(q.embedding, x -> x::DOUBLE) AS qv, ct.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(
+                        list_zip(list_transform(q.embedding, x -> x::DOUBLE), ct.cv),
+                        p -> p[1] * p[2])) DESC, ct.cell ASC) AS rn
+    FROM embeddings q CROSS JOIN cent ct WHERE q.vec_id < 10
+  ) WHERE rn <= 4
+), scored AS (
+  SELECT qid, neighbor,
+         list_sum(list_transform(list_zip(qv, nv), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+          * sqrt(list_sum(list_transform(nv, x -> x * x)))) AS cos
+  FROM qprobe JOIN corpus_cell USING (cell)
+  WHERE neighbor <> qid
+), ranked AS (
+  SELECT qid, neighbor, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor ASC) AS rank
+  FROM scored
+)
+SELECT qid, neighbor, round(cos, 5) AS cos, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: documents text → bytes payload → stubbed
-    deterministic decode via mapInPandas (rows-only)."""
-    from .operators.multimodal import extract_image_metadata
+    deterministic decode via mapInPandas.
+
+    Fully ORACLED: the fake decode is md5-seeded, so every derived value
+    (dims, feature ints) is re-computable in ANSI SQL — the oracle is a
+    genuine second implementation of the decode math.  Features are
+    recovered to their integer form and JSON-serialized because the
+    driver's canonicalizer cannot sort an ``array<float>`` column (the
+    array form stays covered by tests/test_textstats_profile_multimodal)."""
+    from .operators.multimodal import _FEATURE_MOD, extract_image_metadata
 
     d = _read(spark, sf_dir, "documents")
     media = d.select(
@@ -669,7 +834,86 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("mime"),
         F.lit(None).cast("string").alias("source_url"),
     )
-    return extract_image_metadata(media, deterministic_fake=True)
+    meta = extract_image_metadata(media, deterministic_fake=True)
+    feat_ints = F.transform(
+        "features",
+        lambda x: F.round((x.cast("double") + 0.5) * _FEATURE_MOD).cast("long"),
+    )
+    return meta.select(
+        "media_id",
+        "n_bytes",
+        "content_md5",
+        "width",
+        "height",
+        "channels",
+        F.to_json(feat_ints).alias("features_json"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+WITH t AS (
+  SELECT doc_id AS media_id, text,
+         md5(text) AS content_md5,
+         octet_length(encode(text)) AS n_bytes,
+         ('0x' || substr(md5(text), 1, 8))::UBIGINT AS seed
+  FROM documents
+)
+SELECT media_id,
+       CASE WHEN text IS NULL THEN NULL ELSE n_bytes::INT END AS n_bytes,
+       CASE WHEN text IS NULL THEN NULL ELSE content_md5 END AS content_md5,
+       CASE WHEN text IS NULL THEN NULL ELSE (64 + seed % 1920)::INT END AS width,
+       CASE WHEN text IS NULL THEN NULL ELSE (64 + (seed >> 8) % 1080)::INT END AS height,
+       CASE WHEN text IS NULL THEN NULL ELSE 3 END AS channels,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE to_json(list_transform(range(1, 9), i -> ((seed * i) % 1009)::BIGINT)) END AS features_json
+FROM t
+"""
+
+
+# ---------------------------------------------------------------- multi-field catalog
+
+def q_multifield_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field catalog validation with the PORTED reference rulesets
+    (validators/rules/*/baseline.json → rulesets/catalog/validators/): six
+    fields derived deterministically from doc_id, validated in ONE
+    projection (multifield.detect_fields), findings in the reference's
+    CellClassification long format.
+
+    Both engines run the identical RE2-safe rule subset (sql_safe_rules);
+    the lookaround rules the subset drops are parity-tested against the
+    pure-Python oracle in tests/test_multifield.py instead."""
+    from .catalog import CATALOG_FIELDS, build_catalog, load_field_rules
+    from .operators.multifield import cell_findings, detect_fields
+    from .oracle_sql import sql_safe_rules
+
+    d = _read(spark, sf_dir, "documents")
+    cat = build_catalog(d)
+    rules_by_field = {f: sql_safe_rules(load_field_rules(f)) for f in CATALOG_FIELDS}
+    detected = detect_fields(cat, rules_by_field)
+    return cell_findings(detected, "doc_id", CATALOG_FIELDS)
+
+
+def _multifield_cells_sql() -> str:
+    """Generate the DuckDB oracle from the same ruleset files via the
+    independent SQL rule compiler (oracle_sql.py)."""
+    from .catalog import CATALOG_FIELDS, catalog_sql, load_field_rules
+    from .oracle_sql import first_hit_index_sql, rule_lookup_values_sql, sql_safe_rules
+
+    parts = []
+    for f in CATALOG_FIELDS:
+        rules = sql_safe_rules(load_field_rules(f))
+        idx = first_hit_index_sql(f, rules)
+        vals = rule_lookup_values_sql(rules)
+        parts.append(
+            f"SELECT doc_id, '{f}' AS field, 'ERROR' AS status, "
+            f"r.rule, r.code, r.probability\n"
+            f"FROM (SELECT doc_id, {idx} AS hit FROM catalog) h\n"
+            f"JOIN (VALUES {vals}) AS r(hit, rule, code, probability) ON h.hit = r.hit"
+        )
+    return "WITH catalog AS (" + catalog_sql() + ")\n" + "\nUNION ALL\n".join(parts)
+
+
+SQL_MULTIFIELD_CELLS = _multifield_cells_sql()
 
 
 # ---------------------------------------------------------------- events
@@ -963,6 +1207,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf": q_ann_ivf,
     "multimodal_meta": q_multimodal_meta,
+    "multifield_cells": q_multifield_cells,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_rollup": q_events_rollup,
@@ -1005,6 +1250,11 @@ ORACLES = {
     "tpch_q6": SQL_TPCH_Q6,
     "tpch_q1": SQL_TPCH_Q1,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "ann_ivf": SQL_ANN_IVF,
+    "multifield_cells": SQL_MULTIFIELD_CELLS,
     # langid_scores / perplexity_scores / pipeline_verdict: model scorers,
     # not SQL-expressible → rows-only checks by design.
 }

@@ -65,9 +65,14 @@ def threshold_sweep(
 ) -> DataFrame:
     """PR curve in ONE pass: explode a thresholds literal against each score
     row, then aggregate — the reference's per-threshold loop
-    (``ml_curve_generator.py:234-367``) becomes a single shuffle."""
+    (``ml_curve_generator.py:234-367``) becomes a single shuffle.
+
+    Rows with a NULL score are excluded from the curve (they are neither a
+    positive nor a negative prediction at any threshold)."""
     t = F.explode(F.lit(thresholds)).alias("threshold")
-    e = scores.select(F.col(score_col).alias("s"), F.col(label_col).cast("boolean").alias("y"), t)
+    e = scores.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("s"), F.col(label_col).cast("boolean").alias("y"), t
+    )
     pred = (F.col("s") > F.col("threshold")) if higher_is_anomalous else (F.col("s") < F.col("threshold"))
     agg = e.groupBy("threshold").agg(
         F.sum((pred & F.col("y")).cast("long")).alias("tp"),

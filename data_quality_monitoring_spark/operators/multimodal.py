@@ -22,7 +22,6 @@ just rows) — both set in session.py.
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -45,7 +44,7 @@ IMAGE_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.IntegerType(), True),
-        T.StructField("sha1", T.StringType(), True),
+        T.StructField("content_md5", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
@@ -54,26 +53,33 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 FEATURE_DIM = 8
+_FEATURE_MOD = 1009  # prime; features are (seed·(i+1)) mod 1009, scaled
 
 
 def decode_image_bytes(payload: bytes, deterministic_fake: bool = False) -> dict:
     """STUB decode: the real implementation needs an image library.
 
     ``deterministic_fake=True`` derives plausible metadata + an 8-dim
-    feature vector purely from the bytes (crc-seeded), so the distributed
-    plumbing is testable end-to-end and byte-deterministic."""
+    feature vector purely from the bytes, seeded by the md5 of the payload.
+    md5 (not crc32) deliberately: every derived value is then expressible
+    in ANSI SQL, so the distributed plumbing can be oracled end-to-end, not
+    just smoke-tested."""
     if not deterministic_fake:
         raise NotImplementedError(
             "image decoding requires an image library not present in this "
             "environment; pass deterministic_fake=True for the test path"
         )
-    crc = zlib.crc32(payload)
-    rng = np.random.default_rng(crc)
+    digest = hashlib.md5(payload).hexdigest()
+    seed = int(digest[:8], 16)
+    feats = np.array(
+        [(seed * (i + 1)) % _FEATURE_MOD for i in range(FEATURE_DIM)], dtype="float64"
+    )
     return {
-        "width": int(64 + crc % 1920),
-        "height": int(64 + (crc >> 8) % 1080),
+        "content_md5": digest,
+        "width": int(64 + seed % 1920),
+        "height": int(64 + (seed >> 8) % 1080),
         "channels": 3,
-        "features": rng.standard_normal(FEATURE_DIM).astype("float32"),
+        "features": (feats / _FEATURE_MOD - 0.5).astype("float32"),
     }
 
 
@@ -89,7 +95,7 @@ def extract_image_metadata(media: DataFrame, deterministic_fake: bool = False) -
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     rows.append(
-                        {"media_id": mid, "n_bytes": None, "sha1": None, "width": None,
+                        {"media_id": mid, "n_bytes": None, "content_md5": None, "width": None,
                          "height": None, "channels": None, "features": None}
                     )
                     continue
@@ -99,7 +105,7 @@ def extract_image_metadata(media: DataFrame, deterministic_fake: bool = False) -
                     {
                         "media_id": mid,
                         "n_bytes": len(payload),
-                        "sha1": hashlib.sha1(payload).hexdigest(),
+                        "content_md5": meta["content_md5"],
                         "width": meta["width"],
                         "height": meta["height"],
                         "channels": meta["channels"],

@@ -148,22 +148,24 @@ def _native_predicate(col: Column, rule: dict) -> Column:
     if rt == "max_length":
         return F.length(col) > int(rule["max_length"])
     if rt == "regex":
-        pat = rule["pattern"]
-        if rule.get("case_insensitive"):
-            pat = "(?i)" + pat
-        fire = col.rlike(pat)
+        ci = "(?i)" if rule.get("case_insensitive") else ""
+        fire = col.rlike(ci + rule["pattern"])
         for ex in rule.get("exclude_patterns", []):
-            fire = fire & ~col.rlike("^(?:" + ex + ")")  # re.match = anchored
+            # re.match = anchored; reference applies the SAME flags to
+            # excludes (json_validator.py:127-134)
+            fire = fire & ~col.rlike(ci + "^(?:" + ex + ")")
         return fire
     if rt == "regex_multiple":
+        ci = "(?i)" if rule.get("case_insensitive") else ""
         fire = F.lit(False)
         for pat in rule["patterns"]:
-            fire = fire | col.rlike(pat)
+            fire = fire | col.rlike(ci + pat)
         return fire
     if rt == "regex_negative":
+        ci = "(?i)" if rule.get("case_insensitive") else ""
         hit = F.lit(False)
         for pat in rule["patterns"]:
-            hit = hit | col.rlike("^(?:" + pat + ")")  # re.match = anchored
+            hit = hit | col.rlike(ci + "^(?:" + pat + ")")  # re.match = anchored
         return ~hit
     if rt == "keyword_check":
         keywords = rule["required_keywords"]
@@ -256,23 +258,30 @@ def _native_predicate(col: Column, rule: dict) -> Column:
 
 def _python_regex_fire(rule: dict, series: pd.Series) -> pd.Series:
     """Python-`re` evaluation of one regex-family rule over a batch."""
+    import warnings
+
+    # corpus patterns legitimately contain groups; we only test for a match
+    warnings.filterwarnings(
+        "ignore", message="This pattern is interpreted as a regular expression"
+    )
     rt = rule["type"]
     if rt == "regex":
         flags = re.IGNORECASE if rule.get("case_insensitive") else 0
         pat = re.compile(rule["pattern"], flags)
         fire = series.str.contains(pat, na=False)
         for ex in rule.get("exclude_patterns", []):
-            fire &= ~series.str.match(ex, na=False)
+            fire &= ~series.str.match(re.compile(ex, flags), na=False)
         return fire
+    flags = re.IGNORECASE if rule.get("case_insensitive") else 0
     if rt == "regex_multiple":
         fire = pd.Series(False, index=series.index)
         for pat in rule["patterns"]:
-            fire |= series.str.contains(pat, regex=True, na=False)
+            fire |= series.str.contains(re.compile(pat, flags), na=False)
         return fire
     if rt == "regex_negative":
         hit = pd.Series(False, index=series.index)
         for pat in rule["patterns"]:
-            hit |= series.str.match(pat, na=False)
+            hit |= series.str.match(re.compile(pat, flags), na=False)
         return ~hit & series.notna()
     raise AssertionError(rt)
 
@@ -306,30 +315,43 @@ def _wordstat_fire(rule: dict, words: pd.Series) -> pd.Series:
     raise AssertionError(rt)
 
 
+_BITS_PER_MASK = 63  # signed long: bit 63 would overflow — shard instead
+
+
 def _batch_bitmask_udf(rules: list[dict], include: set[str]):
-    """One pandas UDF evaluating every batched rule of a column → bitmask.
+    """One pandas UDF evaluating every batched rule of a column → bitmasks.
 
     The word split is computed ONCE per batch and shared by all word-stat
-    rules; regex rules use pandas' Python-`re`-backed string methods."""
+    rules; regex rules use pandas' Python-`re`-backed string methods.
+
+    Bits are indexed by POSITION WITHIN THE BATCH (not the rule's global
+    index) and sharded into an ``array<long>`` of ⌈n/63⌉ masks, so rulesets
+    with 64+ rules cannot overflow a signed long.  Returns
+    (udf, {global_rule_index: (shard, bit)})."""
     # resolve custom predicates NOW (driver-side): the registry is not
     # populated on executors, so the function itself must ride the closure
     batch_rules = [
         (
-            i,
+            j,
             {**r, "_fn": CUSTOM_PREDICATES[r["predicate"]]} if r["type"] == "custom" else r,
         )
-        for i, r in enumerate(rules)
+        for j, r in enumerate(rules)
         if r["type"] in include
     ]
+    positions = {
+        j: (pos // _BITS_PER_MASK, pos % _BITS_PER_MASK)
+        for pos, (j, _) in enumerate(batch_rules)
+    }
+    n_shards = max(s for s, _ in positions.values()) + 1 if positions else 1
     needs_words = any(r["type"] in _WORDSTAT_TYPES for _, r in batch_rules)
 
-    @F.pandas_udf(T.LongType())
+    @F.pandas_udf(T.ArrayType(T.LongType()))
     def bitmask(s: pd.Series) -> pd.Series:
-        out = pd.Series(0, index=s.index, dtype="int64")
+        shards = [pd.Series(0, index=s.index, dtype="int64") for _ in range(n_shards)]
         words = s.str.split() if needs_words else None
         if words is not None:
             words = words.map(lambda w: w if isinstance(w, list) else [])
-        for i, rule in batch_rules:
+        for j, rule in batch_rules:
             rt = rule["type"]
             if rt in _REGEX_TYPES:
                 fire = _python_regex_fire(rule, s)
@@ -359,10 +381,11 @@ def _batch_bitmask_udf(rules: list[dict], include: set[str]):
                 fire = s.map(line_dup)
             else:
                 fire = _wordstat_fire(rule, words)
-            out |= fire.fillna(False).astype("int64") * (1 << i)
-        return out
+            shard, bit = positions[j]
+            shards[shard] |= fire.fillna(False).astype("int64") * (1 << bit)
+        return pd.Series([list(vals) for vals in zip(*shards)], index=s.index)
 
-    return bitmask
+    return bitmask, positions
 
 
 def compile_predicates(
@@ -378,13 +401,17 @@ def compile_predicates(
         batched: set[str] = set()
     else:
         batched = _REGEX_TYPES | _WORDSTAT_TYPES | _CHARSTAT_TYPES | {"custom"}
-    bitmask_col = None
+    bitmask_col, positions = None, {}
     if batched and any(r["type"] in batched for r in rules):
-        bitmask_col = _batch_bitmask_udf(rules, batched)(col)
+        udf, positions = _batch_bitmask_udf(rules, batched)
+        bitmask_col = udf(col)
     out = []
     for i, rule in enumerate(rules):
         if bitmask_col is not None and rule["type"] in batched:
-            fires = (bitmask_col.bitwiseAND(F.lit(1 << i))) != 0
+            shard, bit = positions[i]
+            fires = (
+                F.element_at(bitmask_col, shard + 1).bitwiseAND(F.lit(1 << bit))
+            ) != 0
         else:
             fires = _native_predicate(col, rule)
         if rule["type"] != "missing":
@@ -399,16 +426,21 @@ def first_hit(col: Column, rules: list[dict], regex_engine: str = "auto") -> Col
     Exact reference semantics: JSON order, first hit short-circuits
     (reference ``json_validator.py:66-72``).
     """
-    chain = None
+    # One flat Coalesce node, NOT a pairwise-nested chain: nesting N Coalesce
+    # levels each duplicating the batched-UDF mask expression sends Catalyst
+    # optimization time superlinear (observed: 70 rules never finished; flat
+    # form optimizes in milliseconds). Same first-non-null semantics.
+    clauses = []
     for rule, fires in compile_predicates(col, rules, regex_engine):
         finding = F.struct(
             F.lit(rule.get("name", rule["type"])).alias("rule"),
             F.lit(rule.get("error_code", rule["type"].upper())).alias("code"),
             F.lit(float(rule.get("probability", 1.0))).alias("probability"),
         )
-        clause = F.when(fires, finding)
-        chain = clause if chain is None else F.coalesce(chain, clause)
-    return chain.cast(FINDING_TYPE) if chain is not None else F.lit(None).cast(FINDING_TYPE)
+        clauses.append(F.when(fires, finding))
+    if not clauses:
+        return F.lit(None).cast(FINDING_TYPE)
+    return (clauses[0] if len(clauses) == 1 else F.coalesce(*clauses)).cast(FINDING_TYPE)
 
 
 def all_findings(col: Column, rules: list[dict], regex_engine: str = "auto") -> Column:

@@ -80,7 +80,9 @@ def _cell_udf(centroids: np.ndarray, n_probe: int = 1):
         out = []
         for v in vecs:
             sims = centroids @ np.asarray(v, dtype="float64")
-            out.append([int(i) for i in np.argsort(-sims)[:n_probe]])
+            # stable sort: exact-tie cells resolve to the lower index, the
+            # same tiebreak the SQL oracle's (sim DESC, cell ASC) uses
+            out.append([int(i) for i in np.argsort(-sims, kind="stable")[:n_probe]])
         return pd.Series(out)
 
     return cells
@@ -95,6 +97,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     centroids: np.ndarray | None = None,
+    round_to: int = 6,
 ) -> DataFrame:
     """IVF ANN: join queries to corpus only within probed cells."""
     if centroids is None:
@@ -114,7 +117,7 @@ def ivf_topk(
         joined.withColumn("cos", cos)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "neighbor", F.round("cos", 6).alias("cos"), "rank")
+        .select("qid", "neighbor", F.round("cos", round_to).alias("cos"), "rank")
     )
 
 

@@ -59,12 +59,14 @@ def rule_first_hit(value, rules: list[dict]) -> dict | None:
         elif rt == "regex":
             flags = re.IGNORECASE if rule.get("case_insensitive") else 0
             fired = re.search(rule["pattern"], v, flags) is not None
-            if fired and any(re.match(ex, v) for ex in rule.get("exclude_patterns", [])):
+            if fired and any(re.match(ex, v, flags) for ex in rule.get("exclude_patterns", [])):
                 fired = False
         elif rt == "regex_multiple":
-            fired = any(re.search(p, v) for p in rule["patterns"])
+            flags = re.IGNORECASE if rule.get("case_insensitive") else 0
+            fired = any(re.search(p, v, flags) for p in rule["patterns"])
         elif rt == "regex_negative":
-            fired = not any(re.match(p, v) for p in rule["patterns"])
+            flags = re.IGNORECASE if rule.get("case_insensitive") else 0
+            fired = not any(re.match(p, v, flags) for p in rule["patterns"])
         elif rt == "keyword_check":
             t = v if rule.get("case_sensitive") else v.lower()
             kws = rule["required_keywords"]
@@ -156,9 +158,10 @@ def _f(rule: dict) -> dict:
 
 def pattern_detect(value, cfg: dict) -> dict | None:
     """Reference pattern_based_detector.py:204-252 semantics."""
-    if _is_missing(value) or str(value).strip() == "":
+    if _is_missing(value) or str(value).strip(" \t\n\r\f\v") == "":
         return None
-    v = str(value).strip()  # reference :218
+    # reference :218 — explicit class so Spark and Python agree char-for-char
+    v = str(value).strip(" \t\n\r\f\v")
     norm = v.lower()
     probs = cfg.get("probabilities", {})
     for pat in cfg.get("format_patterns", []):

@@ -31,13 +31,27 @@ from .pipeline import quality_filter
 
 
 def build_args(argv: list[str] | None = None) -> argparse.Namespace:
+    """CLI surface mirroring the reference's main.py dispatcher
+    (``main.py:26-59``): the default command is the production filter; the
+    demo/eval/curve flows are subcommand-style via ``--mode``."""
     p = argparse.ArgumentParser(description="web-page quality filter")
+    p.add_argument(
+        "--mode",
+        choices=["filter", "single-demo", "multi-eval", "ml-curves"],
+        default="filter",
+        help="filter = resumable quality filter (default); single-demo = "
+        "inject→detect→consolidated report; multi-eval = N-sample "
+        "statistical evaluation; ml-curves = threshold sweep artifacts",
+    )
     p.add_argument("--input", required=True, help="pages parquet path")
     p.add_argument("--output", required=True, help="output table root")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--chunk-buckets", type=int, default=16)
     p.add_argument("--combine", choices=["priority", "weighted"], default="priority")
     p.add_argument("--regex-engine", choices=["auto", "native", "python"], default="auto")
+    p.add_argument("--n-samples", type=int, default=8, help="multi-eval replicas")
+    p.add_argument("--intensity", type=float, default=0.3, help="injection intensity")
+    p.add_argument("--max-issues-per-row", type=int, default=2, help="single-demo cap")
     return p.parse_args(argv)
 
 
@@ -67,10 +81,83 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     return summary
 
 
+def _text_injection_rules() -> list[dict]:
+    from pathlib import Path
+
+    path = Path(__file__).parents[1] / "rulesets" / "text_injection.json"
+    return json.loads(path.read_text())["rules"]
+
+
+def run_single_demo(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """single-demo (reference main.py single_sample_multi_field_demo):
+    inject ≤N issues/row with the error-vs-anomaly split, detect all catalog
+    fields in one projection, write the consolidated JSON report."""
+    from pyspark.sql import functions as F
+
+    from .demo import single_sample_demo
+
+    pages = spark.read.parquet(args.input)
+    if "doc_id" not in pages.columns:
+        pages = pages.withColumn("doc_id", F.xxhash64("url"))
+    return single_sample_demo(
+        spark, pages, args.output, max_issues_per_row=args.max_issues_per_row,
+        issue_probability=args.intensity,
+    )
+
+
+def run_multi_eval(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """multi-eval (reference multi_sample_evaluation): N replicas in one
+    DataFrame, per-sample confusion + aggregate summary written as tables."""
+    from .evaluate import evaluation_summary, multi_sample_evaluation
+
+    pages = spark.read.parquet(args.input)
+    per_sample = multi_sample_evaluation(
+        spark, pages, _text_injection_rules(), n_samples=args.n_samples,
+        intensity=args.intensity, combine=args.combine,
+        regex_engine=args.regex_engine,
+    )
+    per_sample.write.mode("overwrite").parquet(f"{args.output}/per_sample_metrics")
+    summary = evaluation_summary(spark.read.parquet(f"{args.output}/per_sample_metrics"))
+    from pathlib import Path
+
+    Path(args.output, "evaluation_summary.json").write_text(json.dumps(summary, indent=1))
+    return summary
+
+
+def run_ml_curves(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """ml-curves (reference ml_curve_generator.py:234-367): single-pass
+    threshold sweep persisted as a metrics table + JSON artifact."""
+    from pathlib import Path
+
+    from .evaluate import perplexity_threshold_curve
+
+    pages = spark.read.parquet(args.input)
+    thresholds = [round(0.5 * i, 2) for i in range(1, 25)]
+    curve = perplexity_threshold_curve(
+        spark, pages, _text_injection_rules(), thresholds, intensity=args.intensity
+    )
+    curve.write.mode("overwrite").parquet(f"{args.output}/ppl_threshold_curve")
+    rows = [r.asDict() for r in spark.read.parquet(f"{args.output}/ppl_threshold_curve")
+            .orderBy("threshold").collect()]
+    best = max(rows, key=lambda r: r["f1"]) if rows else None
+    out = {"n_thresholds": len(rows), "best": best, "curve": rows}
+    Path(args.output).mkdir(parents=True, exist_ok=True)
+    Path(args.output, "ppl_threshold_curve.json").write_text(json.dumps(out, indent=1))
+    return {"n_thresholds": len(rows), "best": best}
+
+
+_MODES = {
+    "filter": run,
+    "single-demo": run_single_demo,
+    "multi-eval": run_multi_eval,
+    "ml-curves": run_ml_curves,
+}
+
+
 def main(argv: list[str] | None = None) -> None:
     args = build_args(argv)
     spark = SparkSession.builder.appName("dqm_quality_filter").getOrCreate()
-    print(json.dumps(run(spark, args)))
+    print(json.dumps(_MODES[args.mode](spark, args)))
 
 
 if __name__ == "__main__":

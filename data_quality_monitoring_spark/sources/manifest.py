@@ -91,7 +91,6 @@ class PartitionedSink:
         the resume test.  Returns a small run summary.
         """
         spark = pages.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucketed = pages.withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
         )
@@ -105,8 +104,15 @@ class PartitionedSink:
         for chunk in chunks:
             slice_df = bucketed.filter(F.col("bucket").isin(chunk))
             result = transform(slice_df)
-            # idempotent write: dynamic overwrite touches only this chunk's buckets
-            result.write.mode("overwrite").partitionBy("bucket").parquet(str(self.data_dir))
+            # idempotent write: dynamic overwrite touches only this chunk's
+            # buckets — set per-write, NOT session-wide, so unrelated
+            # overwrite+partitionBy writes elsewhere keep static semantics
+            (
+                result.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(str(self.data_dir))
+            )
             lineage = (
                 spark.read.parquet(str(self.data_dir))
                 .filter(F.col("bucket").isin(chunk))

@@ -78,3 +78,34 @@ def test_embedding_near_dup(spark):
     got = {(r["a"], r["b"]): r["cos"] for r in pairs.collect()}
     assert (1, 2) in got and got[(1, 2)] > 0.999
     assert all(p == (1, 2) for p in got)
+
+
+def test_simhash_pigeonhole_invariant():
+    import pytest as _pytest
+    from data_quality_monitoring_spark.operators.dedup import simhash_near_dup_pairs
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_pairs(None, "k", max_hamming=4, n_blocks=4)
+
+
+def test_jaccard_df_cap_bounds_skew(spark):
+    """One boilerplate shingle planted in 50% of docs: the df-cap must
+    drop it so no join bucket exceeds the cap."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from data_quality_monitoring_spark.operators.dedup import cap_shingle_df, shingle_column
+
+    boiler = "all rights reserved"
+    rows = []
+    for i in range(200):
+        body = f"unique{i}a unique{i}b unique{i}c unique{i}d"
+        rows.append((i, f"{boiler} {body}" if i % 2 == 0 else body))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sh = df.select("doc_id", F.explode(shingle_column(F.col("text"))).alias("shingle"))
+    capped = cap_shingle_df(sh, cap=10)
+    max_df = capped.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert max_df <= 10
+    # the boilerplate shingle itself (df=100) is gone
+    assert capped.filter(F.col("shingle") == boiler).count() == 0
+    # docs keep their rare shingles
+    assert capped.select("doc_id").distinct().count() == 200

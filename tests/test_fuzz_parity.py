@@ -62,6 +62,43 @@ def test_rule_engine_matches_oracle_fuzz(spark, values):
     assert got == want
 
 
+PATTERN_CFG = {
+    "format_patterns": [r"[a-z]{2}"],
+    "max_length": 2,
+    "min_length": 2,
+    "known_values": ["en", "de", "nl", "fr", "# comment"],
+}
+
+# whitespace-padded short codes: the seam where F.trim (ASCII space only)
+# diverged from the reference's str.strip() — fuzz the full class
+lang_like = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet="endefr \t\n\r\f\x0b", max_size=8),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(lang_like)
+def test_pattern_detector_matches_oracle_fuzz(spark, values):
+    from data_quality_monitoring_spark.operators.patterns import pattern_finding
+    from data_quality_monitoring_spark.oracle import pattern_detect
+
+    df = spark.createDataFrame(pd.DataFrame({"v": pd.Series(values, dtype="object")}))
+    got = [
+        None if f is None else (f["code"], f["probability"])
+        for f in df.select(pattern_finding(F.col("v"), PATTERN_CFG).alias("f")).toPandas()["f"]
+    ]
+    want = [
+        None if (f := pattern_detect(v, PATTERN_CFG)) is None else (f["code"], f["probability"])
+        for v in values
+    ]
+    assert got == want
+
+
 @settings(max_examples=15, deadline=None)
 @given(pii_texts)
 def test_scrub_native_matches_python_fuzz(spark, values):

@@ -61,3 +61,16 @@ def test_weights_from_performance():
     assert abs(w["llm"] - 0.1 / 1.3) < 1e-9  # baseline floor applied
     eq = weights_from_performance({})
     assert all(abs(v - 1 / 3) < 1e-9 for v in eq.values())
+
+
+def test_threshold_sweep_excludes_null_scores(spark):
+    import pandas as pd
+    from data_quality_monitoring_spark.operators.metrics import threshold_sweep
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": [0.9, 0.1, None], "y": [True, False, True]}).astype({"s": "float64"})
+    )
+    out = threshold_sweep(df, "s", "y", [0.5]).collect()[0]
+    # the NULL-score row is excluded entirely: counts cover exactly 2 rows
+    assert out["tp"] + out["fp"] + out["fn"] + out["tn"] == 2
+    assert out["tp"] == 1 and out["tn"] == 1

@@ -53,3 +53,59 @@ def test_detect_fields_one_pass(spark):
     # result ordering: (key, field) like the reference sort
     keys = [(r["id"], r["field"]) for r in cells]
     assert keys == sorted(keys)
+
+
+def test_catalog_full_rulesets_match_python_oracle(spark):
+    """FULL ported reference rulesets (incl. the lookaround regexes the SQL
+    oracle can't run) over every catalog fixture value: the Spark engine's
+    first hit must equal the pure-Python oracle's."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.catalog import CATALOG_FIXTURES, load_field_rules
+    from data_quality_monitoring_spark.operators.rules import first_hit
+    from data_quality_monitoring_spark.oracle import rule_first_hit
+
+    for field, fixtures in CATALOG_FIXTURES.items():
+        rules = load_field_rules(field)
+        df = spark.createDataFrame(pd.DataFrame({"v": pd.Series(fixtures, dtype="object")}))
+        got = [
+            None if f is None else (f["rule"], f["code"])
+            for f in df.select(first_hit(F.col("v"), rules).alias("f")).toPandas()["f"]
+        ]
+        want = [
+            None if (f := rule_first_hit(v, rules)) is None else (f["rule"], f["code"])
+            for v in fixtures
+        ]
+        assert got == want, f"{field}: {got} != {want}"
+
+
+def test_catalog_fixtures_exercise_rules():
+    """Each catalog field's fixtures must trip at least 3 distinct rules
+    (the corpus port is exercised, not just loaded)."""
+    from data_quality_monitoring_spark.catalog import CATALOG_FIXTURES, load_field_rules
+    from data_quality_monitoring_spark.oracle import rule_first_hit
+
+    for field, fixtures in CATALOG_FIXTURES.items():
+        rules = load_field_rules(field)
+        codes = {f["code"] for v in fixtures if (f := rule_first_hit(v, rules))}
+        passes = sum(1 for v in fixtures if rule_first_hit(v, rules) is None)
+        assert len(codes) >= 3, f"{field} fixtures only trip {codes}"
+        assert passes >= 1, f"{field} has no passing fixture"
+
+
+def test_ported_injection_rules_recoverable(spark):
+    """Ported error-injection rules for material corrupt values that the
+    ported material validator then flags (inject → detect recovery)."""
+    from data_quality_monitoring_spark.catalog import load_field_rules, load_injection_rules
+    from data_quality_monitoring_spark.operators.injection import apply_rule
+    import random
+
+    inj = load_injection_rules("material")
+    assert len(inj) >= 5
+    rng = random.Random(7)
+    clean = "70% wool, 30% silk"
+    corrupted = [apply_rule(clean, r, rng) for r in inj]
+    # at least half the rules actually change this value
+    changed = [c for c in corrupted if c != clean]
+    assert len(changed) >= len(inj) // 2

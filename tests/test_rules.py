@@ -179,3 +179,16 @@ def test_all_findings_collects_every_hit(spark):
     df = spark.createDataFrame([("x",)], ["v"])
     out = df.select(all_findings(F.col("v"), rules).alias("fs")).collect()[0]["fs"]
     assert [f["code"] for f in out] == ["A", "B"]
+
+
+def test_bitmask_shards_beyond_63_rules(spark):
+    # 70 batched (regex) rules: global indices 64+ must not overflow the
+    # signed-long mask — the bitmask shards into an array<long> by position
+    rules = [
+        {"type": "regex", "pattern": f"tok{i:02d}", "error_code": f"R{i:02d}"}
+        for i in range(70)
+    ]
+    values = ["tok00 here", "has tok69 late", "clean text", None]
+    got = _spark_codes(spark, values, rules, "auto")
+    oracle = [None if (f := rule_first_hit(v, rules)) is None else f["code"] for v in values]
+    assert got == oracle == ["R00", "R69", None, None]

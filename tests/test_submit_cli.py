@@ -25,3 +25,81 @@ def test_submit_run_and_resume(spark, tmp_path):
         assert spark.read.parquet(f"{out_dir}/_metrics/{t}").count() > 0
     lineage = spark.read.parquet(f"{out_dir}/_lineage")
     assert lineage.select("bucket").distinct().count() == 8
+
+
+def test_single_demo_mode(spark, tmp_path):
+    import json
+
+    from data_quality_monitoring_spark.plans.submit import run_single_demo
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "demo_out")
+    generate_pages(spark, 240, partitions=4).write.parquet(in_dir)
+    args = build_args(
+        ["--mode", "single-demo", "--input", in_dir, "--output", out_dir,
+         "--intensity", "0.5"]
+    )
+    report = run_single_demo(spark, args)
+    # consolidated report artifact exists and carries per-field blocks
+    on_disk = json.loads((tmp_path / "demo_out" / "consolidated_report.json").read_text())
+    assert on_disk == report
+    assert len(report["per_field"]) >= 6
+    for field, block in report["per_field"].items():
+        assert {"validation", "pattern", "combined"} <= set(block)
+        assert "assessment" in block["combined"]
+    # detection actually recovers injections: combined recall is non-trivial
+    # for the validator-heavy fields
+    recalls = [b["combined"]["recall"] for b in report["per_field"].values()]
+    assert max(recalls) > 0.5
+    assert spark.read.parquet(str(tmp_path / "demo_out" / "labels.parquet")).count() > 0
+    assert spark.read.parquet(str(tmp_path / "demo_out" / "cell_findings.parquet")).count() > 0
+
+
+def test_demo_max_issues_per_row(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.catalog import build_catalog
+    from data_quality_monitoring_spark.plans.demo import inject_catalog
+
+    pages = generate_pages(spark, 200, partitions=2).withColumn(
+        "doc_id", F.xxhash64("url")
+    )
+    catalog = build_catalog(pages)
+    _, labels = inject_catalog(catalog, max_issues_per_row=2, issue_probability=0.9)
+    per_row = labels.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_row <= 2
+    # both injection types occur (the error-vs-anomaly split driver)
+    kinds = {r["injection_type"] for r in labels.select("injection_type").distinct().collect()}
+    assert kinds == {"error", "anomaly"}
+
+
+def test_ml_curves_mode(spark, tmp_path):
+    import json
+
+    from data_quality_monitoring_spark.plans.submit import run_ml_curves
+
+    in_dir = str(tmp_path / "in2")
+    out_dir = str(tmp_path / "curves_out")
+    generate_pages(spark, 200, partitions=2).write.parquet(in_dir)
+    args = build_args(["--mode", "ml-curves", "--input", in_dir, "--output", out_dir])
+    res = run_ml_curves(spark, args)
+    assert res["n_thresholds"] == 24
+    curve = json.loads((tmp_path / "curves_out" / "ppl_threshold_curve.json").read_text())
+    assert len(curve["curve"]) == 24
+    assert curve["best"]["f1"] >= 0
+    assert spark.read.parquet(f"{out_dir}/ppl_threshold_curve").count() == 24
+
+
+def test_multi_eval_mode(spark, tmp_path):
+    from data_quality_monitoring_spark.plans.submit import run_multi_eval
+
+    in_dir = str(tmp_path / "in3")
+    out_dir = str(tmp_path / "eval_out")
+    generate_pages(spark, 120, partitions=2).write.parquet(in_dir)
+    args = build_args(
+        ["--mode", "multi-eval", "--input", in_dir, "--output", out_dir,
+         "--n-samples", "3"]
+    )
+    summary = run_multi_eval(spark, args)
+    assert summary["n_samples"] == 3
+    assert 0.0 <= summary["f1_mean"] <= 1.0
