@@ -363,9 +363,16 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle; on the contract data max df = 7, so the capped answer
     equals the uncapped one.  Skew-bound test: tests/test_dedup.py
     test_jaccard_df_cap_bounds_skew."""
+    pairs = _jaccard_pairs(_read(spark, sf_dir, "documents"))
+    both = pairs.select(F.col("da").alias("doc_id")).unionAll(pairs.select(F.col("db").alias("doc_id")))
+    return both.groupBy("doc_id").agg(F.count("*").alias("n_similar"))
+
+
+def _jaccard_pairs(d: DataFrame) -> DataFrame:
+    """≥0.5-Jaccard near-dup pairs (da < db) over df-capped 3-word shingles
+    — the shared front half of q_dedup_jaccard and q_dedup_clusters."""
     from .operators.dedup import cap_shingle_df
 
-    d = _read(spark, sf_dir, "documents")
     # persist the exploded shingles: df-filter, sizes and the self-join all
     # consume it, and recomputing the explode dominates this query's cost
     raw = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")).persist()
@@ -379,18 +386,37 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("sz", "sza")
     sb = sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("sz", "szb")
-    pairs = (
+    return (
         inter.join(sa, "da")
         .join(sb, "db")
         .withColumn("j", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
         .filter(F.col("j") >= 0.5)
+        .select("da", "db")
     )
-    both = pairs.select(F.col("da").alias("doc_id")).unionAll(pairs.select(F.col("db").alias("doc_id")))
-    return both.groupBy("doc_id").agg(F.count("*").alias("n_similar"))
 
 
-SQL_DEDUP_JACCARD = f"""
-WITH t AS (
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS: the keep-one-per-group step every
+    dedup family needs before a corpus is scrubbed.  Connected components
+    over the ≥0.5-Jaccard pair graph via iterative min-label propagation
+    (operators/dedup.connected_components — O(diameter) small joins on the
+    pair list, which is orders of magnitude smaller than the corpus).
+    Output: one row per clustered doc with its cluster id (= min doc_id in
+    the component), cluster size, and the keep/drop canonical flag."""
+    from .operators.dedup import connected_components
+
+    pairs = _jaccard_pairs(_read(spark, sf_dir, "documents"))
+    comp = connected_components(pairs, "da", "db")
+    cs = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(cs, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+_JACCARD_PAIRS_CTES = f"""t AS (
   SELECT doc_id, {_WORDS_SQL.format(c="text")} AS words FROM documents
 ), raw AS (
   SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM t
@@ -407,10 +433,35 @@ WITH t AS (
   SELECT da, db
   FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
   WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
-)
+)"""
+
+SQL_DEDUP_JACCARD = f"""
+WITH {_JACCARD_PAIRS_CTES}
 SELECT doc_id, count(*) AS n_similar FROM (
   SELECT da AS doc_id FROM pairs UNION ALL SELECT db FROM pairs
 ) GROUP BY doc_id
+"""
+
+# connected components as a recursive CTE: lbl enumerates every (node,
+# reachable-node) pair, min() collapses to the component id — a genuinely
+# different algorithm from the Spark side's min-label propagation, which is
+# what makes this a real two-implementation check.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+edges AS (
+  SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs
+), lbl(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, l.label FROM edges e JOIN lbl l ON l.node = e.v
+), comp AS (
+  SELECT node, min(label) AS cluster FROM lbl GROUP BY node
+), cs AS (
+  SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster
+)
+SELECT node AS doc_id, comp.cluster, cs.cluster_size,
+       (node = comp.cluster) AS is_canonical
+FROM comp JOIN cs ON comp.cluster = cs.cluster
 """
 
 
@@ -542,6 +593,83 @@ WITH t AS (
 )
 SELECT lang, round(avg(nw), 4) AS avg_words, round(avg(mwl), 4) AS avg_word_len
 FROM s GROUP BY lang
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: word count, distinct
+    words, top-word fraction, top-bigram fraction (the "fraction of content
+    in the most repeated n-gram" family of quality rules).
+
+    ONE Arrow UDF pass, zero shuffles: the per-doc frequency tables live
+    inside the kernel, so at 100 TB this is embarrassingly parallel scan
+    work — versus the relational form (posexplode → two groupBys → window),
+    which pays two full word-level shuffles.  Fractions are emitted as raw
+    doubles (identical IEEE division on both engines — rounding would
+    introduce half-ulp ties at e.g. 128-word docs)."""
+    d = _read(spark, sf_dir, "documents")
+
+    out_t = T.StructType([
+        T.StructField("n_words", T.LongType()),
+        T.StructField("n_distinct_words", T.LongType()),
+        T.StructField("top_word_frac", T.DoubleType()),
+        T.StructField("top_bigram_frac", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(out_t)
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        import re
+        from collections import Counter
+
+        split = re.compile(r"[ \t\n\r\f\x0B]+").split
+        rows = []
+        for t in texts:
+            ws = [w for w in split(t)] if t else []
+            ws = [w for w in ws if w]
+            if not ws:
+                rows.append((0, 0, None, None))
+                continue
+            wc = Counter(ws)
+            n = len(ws)
+            top_w = max(wc.values()) / n
+            if n >= 2:
+                bc = Counter(zip(ws, ws[1:]))
+                top_b = max(bc.values()) / (n - 1)
+            else:
+                top_b = None
+            rows.append((n, len(wc), top_w, top_b))
+        return pd.DataFrame(rows, columns=[f.name for f in out_t.fields])
+
+    return d.select("doc_id", rep(F.col("text")).alias("r")).select("doc_id", "r.*")
+
+
+SQL_REPETITION_STATS = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_SQL.format(c="text")} AS words FROM documents
+), w AS (
+  SELECT doc_id, unnest(words) AS word FROM t
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+), ws AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_words, count(*)::BIGINT AS n_distinct_words,
+         max(c)::BIGINT AS mc
+  FROM wc GROUP BY 1
+), b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i+1])) AS bigram
+  FROM t
+), bc AS (
+  SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2
+), bs AS (
+  SELECT doc_id, sum(c)::BIGINT AS nb, max(c)::BIGINT AS mb FROM bc GROUP BY 1
+)
+SELECT t.doc_id,
+       coalesce(ws.n_words, 0) AS n_words,
+       coalesce(ws.n_distinct_words, 0) AS n_distinct_words,
+       ws.mc / ws.n_words AS top_word_frac,
+       bs.mb / bs.nb AS top_bigram_frac
+FROM t LEFT JOIN ws ON t.doc_id = ws.doc_id LEFT JOIN bs ON t.doc_id = bs.doc_id
 """
 
 
@@ -1196,9 +1324,11 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "similarity_topk": q_similarity_topk,
     "centroid_similarity": q_centroid_similarity,
     "token_stats": q_token_stats,
+    "repetition_stats": q_repetition_stats,
     "lang_heuristic": q_lang_heuristic,
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
@@ -1234,9 +1364,11 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "centroid_similarity": SQL_CENTROID_SIMILARITY,
     "token_stats": SQL_TOKEN_STATS,
+    "repetition_stats": SQL_REPETITION_STATS,
     "lang_heuristic": SQL_LANG_HEURISTIC,
     "quality_score": SQL_QUALITY_SCORE,
     "fingerprint": SQL_FINGERPRINT,

@@ -315,3 +315,51 @@ def embedding_near_dup_pairs(
             F.col("ka").alias("a"), F.col("kb").alias("b"), F.round("cos", round_to).alias("cos")
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: (node, component) with component
+    = min node id in the connected component.
+
+    The missing last step of every dedup family (minhash/simhash/embedding
+    pairs must become KEEP-ONE groups before scrubbing a training corpus).
+    Iterative min-label propagation on the symmetrized edge list: each round
+    every node takes min(own label, neighbours' labels); stop when a round
+    changes nothing.  Rounds = cluster diameter; web near-dup clusters are
+    star-like (diameter ≤ ~4), and the edge list (LSH survivors) is orders
+    of magnitude smaller than the corpus, so each round is one small
+    shuffle-on-node-id join.  ``localCheckpoint`` truncates the iterative
+    lineage every round — without it the plan doubles per iteration and Catalyst
+    analysis dominates after ~10 rounds.
+
+    Raises if max_iter rounds don't converge (pathological chain — for
+    adversarial diameters switch to large-star/small-star, which this
+    sandbox's corpora never need)."""
+    e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    edges = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(labels.select(F.col("node").alias("v"), F.col("label").alias("vl")), "v")
+                .groupBy("u")
+                .agg(F.min("vl").alias("nbr_min"))
+            )
+            nxt = (
+                labels.join(nbr, labels["node"] == nbr["u"], "left")
+                .select(
+                    "node",
+                    "label",
+                    F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("new_label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = nxt.filter(F.col("new_label") < F.col("label")).count()
+            labels = nxt.select("node", F.col("new_label").alias("label"))
+            if changed == 0:
+                return labels.withColumnRenamed("label", "component")
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        edges.unpersist()

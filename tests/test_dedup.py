@@ -88,6 +88,18 @@ def test_simhash_pigeonhole_invariant():
         simhash_near_dup_pairs(None, "k", max_hamming=4, n_blocks=4)
 
 
+def test_connected_components(spark):
+    """Chain 10-11-12-13-14 (diameter 4 → several propagation rounds),
+    a separate pair, and a star; labels converge to min-id components."""
+    pairs = [(11, 10), (11, 12), (12, 13), (13, 14), (20, 21), (30, 31), (30, 32), (30, 33)]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    comp = {r["node"]: r["component"] for r in D.connected_components(df).collect()}
+    assert {n: comp[n] for n in (10, 11, 12, 13, 14)} == dict.fromkeys(range(10, 15), 10)
+    assert comp[20] == comp[21] == 20
+    assert {comp[n] for n in (30, 31, 32, 33)} == {30}
+    assert len(comp) == 11
+
+
 def test_jaccard_df_cap_bounds_skew(spark):
     """One boilerplate shingle planted in 50% of docs: the df-cap must
     drop it so no join bucket exceeds the cap."""

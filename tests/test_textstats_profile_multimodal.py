@@ -93,3 +93,32 @@ def test_frame_sample_plan(spark):
     pdf = plan.toPandas()
     assert (pdf["frame_ts"] % 5 == 0).all()
     assert pdf.groupby("media_id")["frame_ts"].min().eq(0).all()
+
+
+def test_repetition_stats_pinned(spark):
+    """q_repetition_stats kernel on pinned strings: 'a a a b' → top word 3/4,
+    top bigram 'a a' 2/3; single word and empty/None degenerate safely."""
+    from data_quality_monitoring_spark.entry_queries import q_repetition_stats
+
+    # drive the query's kernel by substituting a documents-shaped frame
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, ""), (4, None), (5, "p q p q p")],
+        ["doc_id", "text"],
+    )
+    import data_quality_monitoring_spark.entry_queries as EQ
+
+    orig = EQ._read
+    EQ._read = lambda spark_, sf_dir, name: df
+    try:
+        out = {r["doc_id"]: r.asDict() for r in q_repetition_stats(spark, "unused").collect()}
+    finally:
+        EQ._read = orig
+    assert out[1]["n_words"] == 4 and out[1]["n_distinct_words"] == 2
+    assert abs(out[1]["top_word_frac"] - 0.75) < 1e-12
+    assert abs(out[1]["top_bigram_frac"] - 2 / 3) < 1e-12
+    assert out[2]["n_words"] == 1 and out[2]["top_bigram_frac"] is None
+    assert out[3]["n_words"] == 0 and out[3]["top_word_frac"] is None
+    assert out[4]["n_words"] == 0
+    # "p q p q p": top word p=3/5; bigrams pq,qp,pq,qp → top 2/4
+    assert abs(out[5]["top_word_frac"] - 0.6) < 1e-12
+    assert abs(out[5]["top_bigram_frac"] - 0.5) < 1e-12
