@@ -45,24 +45,33 @@ def cell_findings(
 ) -> DataFrame:
     """Long-format per-cell findings, first-present of validation then
     pattern per field (the reference's priority upsert on (row, column),
-    comprehensive_detector.py:511-585)."""
-    parts = []
+    comprehensive_detector.py:511-585).
+
+    Single-pass pivot: all fields' cells are packed into one array of
+    structs and exploded — NOT a union of per-field branches, which would
+    re-scan the input (and re-run every detector UDF) once per field.
+    Plan evidence: PLANS.md multifield_cells went from 24 Arrow stages /
+    12 scans (union form) to one scan."""
+    entries = []
     for field in fields:
         v = F.col(f"f_{field}") if f"f_{field}" in detected.columns else F.lit(None)
         p = F.col(f"p_{field}") if f"p_{field}" in detected.columns else F.lit(None)
         finding = F.coalesce(v, p)
-        status = F.when(v.isNotNull(), "ERROR").otherwise("ANOMALY")
-        parts.append(
-            detected.filter(finding.isNotNull()).select(
-                F.col(key),
-                F.lit(field).alias("field"),
-                status.alias("status"),
-                finding["rule"].alias("rule"),
-                finding["code"].alias("code"),
-                finding["probability"].alias("probability"),
+        entries.append(
+            F.when(
+                finding.isNotNull(),
+                F.struct(
+                    F.lit(field).alias("field"),
+                    F.when(v.isNotNull(), "ERROR").otherwise("ANOMALY").alias("status"),
+                    finding["rule"].alias("rule"),
+                    finding["code"].alias("code"),
+                    finding["probability"].alias("probability"),
+                ),
             )
         )
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionAll(part)
-    return out.orderBy(key, "field")
+    cells = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    return (
+        detected.select(F.col(key), F.explode(cells).alias("_c"))
+        .select(key, "_c.field", "_c.status", "_c.rule", "_c.code", "_c.probability")
+        .orderBy(key, "field")
+    )

@@ -140,26 +140,32 @@ def detect_cells_by_method(
         except FileNotFoundError:
             pass
     detected = detect_fields(catalog, rules_by_field, pattern_by_field)
-    parts = []
+    # single-pass pivot (array-of-structs → explode), NOT a union of
+    # per-(field, method) branches — a union re-scans the input and re-runs
+    # every detector UDF once per branch (see multifield.cell_findings)
+    entries = []
     for f in fields:
         for method, col in (("validation", f"f_{f}"), ("pattern", f"p_{f}")):
             if col not in detected.columns:
                 continue
             fd = F.col(col)
-            parts.append(
-                detected.filter(fd.isNotNull()).select(
-                    F.col(key),
-                    F.lit(f).alias("field"),
-                    F.lit(method).alias("method"),
-                    fd["rule"].alias("rule"),
-                    fd["code"].alias("code"),
-                    fd["probability"].alias("probability"),
+            entries.append(
+                F.when(
+                    fd.isNotNull(),
+                    F.struct(
+                        F.lit(f).alias("field"),
+                        F.lit(method).alias("method"),
+                        fd["rule"].alias("rule"),
+                        fd["code"].alias("code"),
+                        fd["probability"].alias("probability"),
+                    ),
                 )
             )
-    cells = parts[0]
-    for p in parts[1:]:
-        cells = cells.unionAll(p)
-    return cells
+    packed = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    return (
+        detected.select(F.col(key), F.explode(packed).alias("_c"))
+        .select(key, "_c.field", "_c.method", "_c.rule", "_c.code", "_c.probability")
+    )
 
 
 _METHOD_FOR_TYPE = {"error": "validation", "anomaly": "pattern"}
