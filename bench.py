@@ -30,7 +30,9 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_jaccard",
     "dedup_simhash",
+    "dedup_clusters",
     "embedding_near_dup",
+    "repetition_stats",
     "multifield_cells",
     "similarity_topk",
     "centroid_similarity",

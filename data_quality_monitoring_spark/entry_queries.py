@@ -673,6 +673,40 @@ FROM t LEFT JOIN ws ON t.doc_id = ws.doc_id LEFT JOIN bs ON t.doc_id = bs.doc_id
 """
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 0.3, "es": 0.2}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified down-sampling (operators/sampling.py): per-
+    language keep rates gated by an md5-bucket of doc_id — reproducible,
+    nested, shuffle-free, and portable enough that the oracle re-runs the
+    identical arithmetic.  Emits the sampled rows (the strong check: any
+    bucket-formula divergence flips specific rows, not just counts)."""
+    from .operators.sampling import sample_bucket, stratified_sample
+
+    d = _read(spark, sf_dir, "documents")
+    return stratified_sample(d, "doc_id", "lang", SAMPLE_RATES, SAMPLE_DEFAULT).select(
+        "doc_id", "lang", sample_bucket(F.col("doc_id")).alias("bucket")
+    )
+
+
+def _sample_stratified_sql() -> str:
+    from .operators.sampling import BUCKETS, sample_bucket_sql
+
+    b = sample_bucket_sql("doc_id")
+    whens = " ".join(
+        f"WHEN '{v}' THEN {int(r * BUCKETS)}" for v, r in sorted(SAMPLE_RATES.items())
+    )
+    return (
+        f"SELECT doc_id, lang, {b} AS bucket FROM documents "
+        f"WHERE {b} < CASE lang {whens} ELSE {int(SAMPLE_DEFAULT * BUCKETS)} END"
+    )
+
+
+SQL_SAMPLE_STRATIFIED = _sample_stratified_sql()
+
+
 def q_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language heuristic (cheap langid tier) vs the claimed
     tag — a confusion-style aggregate."""
@@ -1329,6 +1363,7 @@ QUERIES = {
     "centroid_similarity": q_centroid_similarity,
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
+    "sample_stratified": q_sample_stratified,
     "lang_heuristic": q_lang_heuristic,
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
@@ -1369,6 +1404,7 @@ ORACLES = {
     "centroid_similarity": SQL_CENTROID_SIMILARITY,
     "token_stats": SQL_TOKEN_STATS,
     "repetition_stats": SQL_REPETITION_STATS,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "lang_heuristic": SQL_LANG_HEURISTIC,
     "quality_score": SQL_QUALITY_SCORE,
     "fingerprint": SQL_FINGERPRINT,

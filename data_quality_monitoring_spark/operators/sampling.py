@@ -1,0 +1,51 @@
+"""Deterministic stratified sampling — reproducible corpus down-sampling.
+
+Every training-corpus build ends with "keep X% of language L / source S":
+doing it with ``rand()`` makes reruns (and resumed runs) disagree, so the
+sample gate here is a pure function of the ROW KEY: bucket =
+int(md5(key)[:8], 16) % 1000, keep iff bucket < rate·1000.  Properties a
+100-TB pipeline needs:
+
+* **idempotent / resumable** — a re-run or a partition retry keeps exactly
+  the same rows (no RNG state, no partition-index dependence),
+* **nested samples** — rate 0.1 is a subset of rate 0.2 (bucket threshold),
+  so growing a corpus keeps every previously selected doc,
+* **no shuffle** — the gate is a scan-local Column expression,
+* **portable** — md5 is reproducible in any engine (the DuckDB oracle runs
+  the identical arithmetic), unlike xxhash64 whose seed differs per system.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1000
+
+
+def sample_bucket(key: Column) -> Column:
+    """Deterministic 0..999 bucket from the row key (md5-derived)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % BUCKETS
+
+
+def sample_bucket_sql(key_expr: str) -> str:
+    """The identical bucket in ANSI SQL (DuckDB oracle side)."""
+    return f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))::UBIGINT % {BUCKETS})::BIGINT"
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff its deterministic bucket clears its stratum's rate."""
+    threshold = F.lit(int(default_rate * BUCKETS))
+    for value, rate in sorted(rates.items()):
+        threshold = F.when(F.col(strata) == value, int(rate * BUCKETS)).otherwise(
+            threshold
+        )
+    return df.filter(sample_bucket(F.col(key)) < threshold)
