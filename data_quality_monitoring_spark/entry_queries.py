@@ -859,10 +859,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cos ≈ 0.968–0.975 vs a max non-planted pair of 0.51, so threshold
     0.9 has wide margins on both sides.
 
-    Oracled: the LSH OR-construction's recall at this margin is
-    1 − (1−p⁴)⁸ ≈ 0.99996 per pair and verified exhaustive on this exact
-    dataset, so the output equals the brute-force all-pairs answer the
-    DuckDB oracle computes."""
+    Oracled: the LSH AND-OR construction's recall at this margin is
+    1 − (1−p¹²)³² ≈ 1 − 4·10⁻⁹ per pair (p ≈ 0.92) and verified exhaustive
+    on this exact dataset at every SF, so the output equals the
+    brute-force all-pairs answer the DuckDB oracle computes."""
     from .operators.dedup import embedding_near_dup_pairs
 
     e = _read(spark, sf_dir, "embeddings")
