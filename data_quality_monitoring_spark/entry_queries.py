@@ -673,6 +673,37 @@ FROM t LEFT JOIN ws ON t.doc_id = ws.doc_id LEFT JOIN bs ON t.doc_id = bs.doc_id
 """
 
 
+def q_skew_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats via TWO-PHASE SALTED aggregation (the north
+    rule's host/url-skew defuser, plans/pipeline.salted_group_count): phase
+    1 groups by (source, salt=pmod(xxhash64(doc_id), 16)) so one hot source
+    spreads over 16 reducers; phase 2 collapses the partials.  Distinct
+    langs use the same trick with the natural (source, lang) key.  The
+    result is salt-invariant, so the oracle is the plain GROUP BY."""
+    d = _read(spark, sf_dir, "documents")
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(16))
+    partial = d.groupBy("source", salt.alias("_salt")).agg(
+        F.count("*").alias("c"), F.sum("n_chars").alias("s")
+    )
+    totals = partial.groupBy("source").agg(
+        F.sum("c").alias("n_docs"), F.sum("s").alias("total_chars")
+    )
+    langs = (
+        d.groupBy("source", "lang")
+        .agg(F.count("*").alias("_n"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_langs"))
+    )
+    return totals.join(langs, "source")
+
+
+SQL_SKEW_SALTED_STATS = """
+SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
 SAMPLE_RATES = {"en": 0.5, "de": 0.3, "es": 0.2}
 SAMPLE_DEFAULT = 0.1
 
@@ -1364,6 +1395,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
     "sample_stratified": q_sample_stratified,
+    "skew_salted_stats": q_skew_salted_stats,
     "lang_heuristic": q_lang_heuristic,
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
@@ -1405,6 +1437,7 @@ ORACLES = {
     "token_stats": SQL_TOKEN_STATS,
     "repetition_stats": SQL_REPETITION_STATS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "skew_salted_stats": SQL_SKEW_SALTED_STATS,
     "lang_heuristic": SQL_LANG_HEURISTIC,
     "quality_score": SQL_QUALITY_SCORE,
     "fingerprint": SQL_FINGERPRINT,
