@@ -249,6 +249,31 @@ FROM documents GROUP BY lang
 """
 
 
+def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated length quantiles per lang (corpus profiling tier).
+
+    Uses Spark's exact ``percentile`` (not ``percentile_approx``) so the
+    value is a deterministic function of the data — the GK sketch would
+    hash-mismatch any second engine.  At 100 TB you'd flip to
+    percentile_approx and assert error bounds instead; the exact form is
+    the oracle-able contract."""
+    d = _read(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.percentile("n_chars", 0.5).alias("p50_chars"),
+        F.percentile("n_chars", 0.9).alias("p90_chars"),
+        F.percentile("n_chars", 0.99).alias("p99_chars"),
+    )
+
+
+SQL_PROFILE_QUANTILES = """
+SELECT lang,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       quantile_cont(n_chars, 0.99) AS p99_chars
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------- dedup
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1386,6 +1411,7 @@ QUERIES = {
     "scrub_pii": q_scrub_pii,
     "profile_value_counts": q_profile_value_counts,
     "profile_stats": q_profile_stats,
+    "profile_quantiles": q_profile_quantiles,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1428,6 +1454,7 @@ ORACLES = {
     "scrub_pii": SQL_SCRUB_PII,
     "profile_value_counts": SQL_PROFILE_VALUE_COUNTS,
     "profile_stats": SQL_PROFILE_STATS,
+    "profile_quantiles": SQL_PROFILE_QUANTILES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_jaccard": SQL_DEDUP_JACCARD,

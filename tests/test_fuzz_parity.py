@@ -99,6 +99,65 @@ def test_pattern_detector_matches_oracle_fuzz(spark, values):
     assert got == want
 
 
+# every SQL-expressible reference rule type — the triple-parity seam:
+# Spark batched engine (Python re) vs pure-Python oracle vs the DuckDB SQL
+# compiler (RE2).  ASCII-only patterns so the three regex dialects agree by
+# construction; divergence here means a compiler bug, not a dialect gap.
+TRIPLE_RULES = [
+    {"type": "missing", "error_code": "MISSING"},
+    {"type": "empty_string", "error_code": "EMPTY"},
+    {"type": "whitespace", "error_code": "WS"},
+    {"type": "max_length", "max_length": 60, "error_code": "LONG"},
+    {"type": "regex", "pattern": r"\d{3,}", "exclude_patterns": [r"\d+%"], "error_code": "RX"},
+    {"type": "regex_multiple", "patterns": [r"hot{2,}", r"x\.\d"], "error_code": "RXM"},
+    {"type": "keyword_check", "required_keywords": ["hot", "cold"], "error_code": "KW"},
+    {"type": "percentage_sum_check", "tolerance": 0.5, "error_code": "PCT"},
+    {"type": "parenthesis_check", "error_code": "PAREN"},
+    {"type": "year_range_check", "min_year": 1990, "max_year": 2030, "error_code": "YEAR"},
+    {"type": "contradiction_check", "contradiction_pairs": [["hot", "cold"]], "error_code": "CONTRA"},
+]
+
+triple_texts = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet="hotcld 0123456789%()[]\t\n.x", max_size=80),
+        st.text(max_size=40),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(triple_texts)
+def test_rule_compiler_triple_parity_fuzz(spark, values):
+    """Spark auto engine == Python oracle == DuckDB SQL rule compiler."""
+    import duckdb
+
+    from data_quality_monitoring_spark.oracle_sql import (
+        first_hit_index_sql,
+        sql_safe_rules,
+    )
+
+    rules = sql_safe_rules(TRIPLE_RULES)
+    assert len(rules) == len(TRIPLE_RULES)  # all of these must be SQL-safe
+
+    df = spark.createDataFrame(pd.DataFrame({"v": pd.Series(values, dtype="object")}))
+    got_spark = [
+        None if f is None else f["code"]
+        for f in df.select(first_hit(F.col("v"), rules, "auto").alias("f")).toPandas()["f"]
+    ]
+    got_python = [
+        None if (f := rule_first_hit(v, rules)) is None else f["code"] for v in values
+    ]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(values)), "v": pd.Series(values, dtype="object")}))
+    idx = first_hit_index_sql("v", rules)
+    hits = con.execute(f"SELECT {idx} AS h FROM t ORDER BY i").df()["h"]
+    got_sql = [None if pd.isna(h) else rules[int(h)]["error_code"] for h in hits]
+    assert got_spark == got_python == got_sql
+
+
 @settings(max_examples=15, deadline=None)
 @given(pii_texts)
 def test_scrub_native_matches_python_fuzz(spark, values):
