@@ -344,7 +344,13 @@ def connected_components(
     sandbox's corpora never need)."""
     e = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
     edges = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct().persist()
-    labels = edges.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+    # initialize label(v) = min(v, min neighbor) — one groupBy that already
+    # finishes star-shaped clusters, saving a full propagation round
+    labels = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("_mn"))
+        .select("node", F.least("node", "_mn").alias("label"))
+    )
     try:
         for _ in range(max_iter):
             nbr = (
