@@ -37,11 +37,12 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="web-page quality filter")
     p.add_argument(
         "--mode",
-        choices=["filter", "single-demo", "multi-eval", "ml-curves"],
+        choices=["filter", "corpus", "single-demo", "multi-eval", "ml-curves"],
         default="filter",
-        help="filter = resumable quality filter (default); single-demo = "
-        "inject→detect→consolidated report; multi-eval = N-sample "
-        "statistical evaluation; ml-curves = threshold sweep artifacts",
+        help="filter = resumable quality filter (default); corpus = filter "
+        "+ dedup battery + optional sampling → final training corpus; "
+        "single-demo = inject→detect→consolidated report; multi-eval = "
+        "N-sample statistical evaluation; ml-curves = threshold sweeps",
     )
     p.add_argument("--input", required=True, help="pages parquet path")
     p.add_argument("--output", required=True, help="output table root")
@@ -52,6 +53,13 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--n-samples", type=int, default=8, help="multi-eval replicas")
     p.add_argument("--intensity", type=float, default=0.3, help="injection intensity")
     p.add_argument("--max-issues-per-row", type=int, default=2, help="single-demo cap")
+    p.add_argument("--jaccard-threshold", type=float, default=0.7, help="corpus near-dup bar")
+    p.add_argument(
+        "--sample-rates",
+        default=None,
+        help='corpus mode per-lang keep rates as JSON, e.g. \'{"en": 0.5}\'',
+    )
+    p.add_argument("--default-rate", type=float, default=1.0, help="corpus sample default")
     return p.parse_args(argv)
 
 
@@ -79,6 +87,25 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
         f"{metrics_root}/ppl_histogram"
     )
     return summary
+
+
+def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """corpus: the full training-corpus build (plans/corpus.build_corpus —
+    filter → exact dedup → near-dup clusters → optional stratified sample)
+    written as parquet + a stage-counts JSON."""
+    from pathlib import Path
+
+    from .corpus import build_corpus
+
+    pages = spark.read.parquet(args.input)
+    rates = json.loads(args.sample_rates) if args.sample_rates else None
+    corpus, stats = build_corpus(
+        spark, pages, jaccard_threshold=args.jaccard_threshold,
+        sample_rates=rates, default_rate=args.default_rate,
+    )
+    corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
+    Path(args.output, "corpus_stats.json").write_text(json.dumps(stats, indent=1))
+    return stats
 
 
 def _text_injection_rules() -> list[dict]:
@@ -148,6 +175,7 @@ def run_ml_curves(spark: SparkSession, args: argparse.Namespace) -> dict:
 
 _MODES = {
     "filter": run,
+    "corpus": run_corpus,
     "single-demo": run_single_demo,
     "multi-eval": run_multi_eval,
     "ml-curves": run_ml_curves,

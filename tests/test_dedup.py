@@ -100,6 +100,17 @@ def test_connected_components(spark):
     assert len(comp) == 11
 
 
+def test_connected_components_log_convergence(spark):
+    """300-node path graph (diameter 299): pointer jumping must converge in
+    O(log d) rounds — max_iter=12 >= log2(299)+slack, where plain
+    propagation would need 299 rounds."""
+    pairs = [(i, i + 1) for i in range(299)]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    comp = D.connected_components(df, max_iter=12)
+    assert comp.filter(F.col("component") != 0).count() == 0
+    assert comp.count() == 300
+
+
 def test_jaccard_df_cap_bounds_skew(spark):
     """One boilerplate shingle planted in 50% of docs: the df-cap must
     drop it so no join bucket exceeds the cap."""

@@ -103,3 +103,25 @@ def test_multi_eval_mode(spark, tmp_path):
     summary = run_multi_eval(spark, args)
     assert summary["n_samples"] == 3
     assert 0.0 <= summary["f1_mean"] <= 1.0
+
+
+def test_corpus_mode(spark, tmp_path):
+    import json
+
+    from data_quality_monitoring_spark.plans.submit import run_corpus
+
+    in_dir = str(tmp_path / "in_c")
+    out_dir = str(tmp_path / "corpus_out")
+    generate_pages(spark, 200, partitions=4).write.parquet(in_dir)
+    args = build_args(
+        ["--mode", "corpus", "--input", in_dir, "--output", out_dir,
+         "--sample-rates", '{"en": 0.5}', "--default-rate", "0.6"]
+    )
+    stats = run_corpus(spark, args)
+    assert stats["docs_in"] == 200
+    assert stats["final"] <= stats["after_exact_dedup"] <= stats["kept"]
+    corpus = spark.read.parquet(f"{out_dir}/corpus")
+    assert corpus.count() == stats["final"]
+    assert {"url", "lang", "text_scrubbed"} <= set(corpus.columns)
+    on_disk = json.loads((tmp_path / "corpus_out" / "corpus_stats.json").read_text())
+    assert on_disk == stats
