@@ -100,9 +100,15 @@ def cap_shingle_df(sh: DataFrame, cap: int, shingle_col: str = "shingle") -> Dat
     (doc, shingle) table — the standard boilerplate guard before any
     shingle self-join: pair count inside one bucket is quadratic in df, so
     a navbar shingle shared by 10⁵ docs makes a 10¹⁰-pair bucket.  The cap
-    bounds every bucket at cap·(cap−1)/2 pairs regardless of corpus size."""
-    rare = sh.groupBy(shingle_col).agg(F.count("*").alias("_df")).filter(F.col("_df") <= cap)
-    return sh.join(rare.select(shingle_col), shingle_col, "left_semi")
+    bounds every bucket at cap·(cap−1)/2 pairs regardless of corpus size.
+
+    Joined as an ANTI-join against the HOT set (df > cap), not a semi-join
+    against the rare set: the hot side is tiny by construction (boilerplate
+    only — at most distinct_shingles/cap entries), so AQE turns this into a
+    broadcast anti-join and the exploded table is shuffled once (the df
+    aggregate) instead of twice."""
+    hot = sh.groupBy(shingle_col).agg(F.count("*").alias("_df")).filter(F.col("_df") > cap)
+    return sh.join(hot.select(shingle_col), shingle_col, "left_anti")
 
 
 def jaccard_verify(
