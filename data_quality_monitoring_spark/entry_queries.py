@@ -1400,6 +1400,98 @@ def q_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_rules_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship keep/drop decision, ORACLE-ABLE slice: quality_filter
+    with methods pruned to ["validation", "pattern"] (the capability-probe
+    path).  Unlike `pipeline_verdict` (rows-only — its verdict needs the
+    model scorers), every operator here is SQL-expressible, so the DuckDB
+    oracle recomputes the full default web-text ruleset (9 rules,
+    first-hit), the lang pattern detector (format/length/known-values with
+    close-match), the priority combiner and the keep bit — end to end."""
+    from .plans.pipeline import quality_filter
+
+    d = _read(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    res = quality_filter(spark, pages, methods=["validation", "pattern"])
+    return res.select(
+        "url",
+        "keep",
+        F.col("verdict.method").alias("method"),
+        F.col("verdict.code").alias("code"),
+        F.col("verdict.probability").alias("probability"),
+    )
+
+
+_WS_SQL = "[ \\t\\n\\r\\f\\x0B]"  # backslashes literal in the SQL string → RE2 escapes
+
+SQL_PIPELINE_RULES_VERDICT = f"""
+WITH base AS (
+  SELECT 'doc://' || doc_id::VARCHAR AS url, text, lang,
+         CASE WHEN regexp_replace(text, '^{_WS_SQL}+|{_WS_SQL}+$', '', 'g') = ''
+              THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(
+                     regexp_replace(text, '^{_WS_SQL}+|{_WS_SQL}+$', '', 'g'),
+                     '{_WS_SQL}+') END AS words,
+         length(text) AS n_chars
+  FROM documents
+), feats AS (
+  SELECT url, text, lang, words, n_chars, len(words) AS n_words,
+         n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+         length(regexp_replace(text, '[0-9A-Za-z {_WS_SQL[2:-1]}]', '', 'g')) AS n_sym,
+         len(list_distinct(list_transform(words, w -> lower(w)))) AS n_distinct
+  FROM base
+), v AS (
+  SELECT url, lang, CASE
+    WHEN text IS NULL THEN ['MISSING', 'missing_text', '1.0']
+    WHEN text = '' THEN ['EMPTY', 'empty_text', '1.0']
+    WHEN regexp_matches(text, '^{_WS_SQL}|{_WS_SQL}$') THEN ['WHITESPACE_PADDING', 'whitespace_padding', '0.8']
+    WHEN n_words < 40 THEN ['TOO_SHORT', 'too_short', '0.9']
+    WHEN n_chars > 0 AND n_digits::DOUBLE / n_chars > 0.3 THEN ['DIGIT_HEAVY', 'digit_heavy', '0.85']
+    WHEN n_chars > 0 AND n_sym::DOUBLE / n_chars > 0.1 THEN ['SYMBOL_HEAVY', 'symbol_heavy', '0.8']
+    WHEN n_words > 0 AND n_distinct::DOUBLE / n_words < 0.05 THEN ['REPETITIVE', 'repetitive', '0.85']
+    WHEN contains(lower(text), 'cookie') OR contains(lower(text), 'newsletter')
+      OR contains(lower(text), 'privacy policy') OR contains(lower(text), 'all rights reserved')
+      THEN ['BOILERPLATE', 'boilerplate', '0.8']
+    WHEN n_words > 0 AND list_max(list_transform(words, w -> length(w))) > 60
+      THEN ['ABSURD_WORD', 'absurd_word', '0.75']
+    END AS vf
+  FROM feats
+), p AS (
+  SELECT url, vf,
+         regexp_replace(lang, '^{_WS_SQL}+|{_WS_SQL}+$', '', 'g') AS vs,
+         lower(regexp_replace(lang, '^{_WS_SQL}+|{_WS_SQL}+$', '', 'g')) AS norm
+  FROM v
+), pf AS (
+  SELECT url, vf, CASE
+    WHEN lang IS NULL OR vs = '' THEN NULL
+    WHEN NOT regexp_matches(vs, '^(?:[a-z]{{2}})') THEN ['INVALID_FORMAT', 'format_pattern', '0.8']
+    WHEN length(vs) > 2 THEN ['MAX_LENGTH', 'max_length', '0.8']
+    WHEN norm NOT IN ('en', 'de', 'nl', 'fr') THEN
+      ['UNKNOWN_VALUE', 'known_values',
+       CASE WHEN starts_with('en', substr(norm, 1, 3)) OR starts_with(norm, 'en')
+              OR starts_with('de', substr(norm, 1, 3)) OR starts_with(norm, 'de')
+              OR starts_with('nl', substr(norm, 1, 3)) OR starts_with(norm, 'nl')
+              OR starts_with('fr', substr(norm, 1, 3)) OR starts_with(norm, 'fr')
+            THEN '0.75' ELSE '0.85' END]
+    END AS pp
+  FROM p JOIN (SELECT url AS u2, lang FROM base) ON url = u2
+)
+SELECT url,
+       (vf IS NULL AND pp IS NULL) AS keep,
+       CASE WHEN vf IS NOT NULL THEN 'validation'
+            WHEN pp IS NOT NULL THEN 'pattern' END AS method,
+       coalesce(vf[1], pp[1]) AS code,
+       coalesce(vf[3], pp[3])::DOUBLE AS probability
+FROM pf
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1422,6 +1514,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "sample_stratified": q_sample_stratified,
     "skew_salted_stats": q_skew_salted_stats,
+    "pipeline_rules_verdict": q_pipeline_rules_verdict,
     "lang_heuristic": q_lang_heuristic,
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
@@ -1465,6 +1558,7 @@ ORACLES = {
     "repetition_stats": SQL_REPETITION_STATS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "skew_salted_stats": SQL_SKEW_SALTED_STATS,
+    "pipeline_rules_verdict": SQL_PIPELINE_RULES_VERDICT,
     "lang_heuristic": SQL_LANG_HEURISTIC,
     "quality_score": SQL_QUALITY_SCORE,
     "fingerprint": SQL_FINGERPRINT,
