@@ -25,6 +25,7 @@ from data_quality_monitoring_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "pipeline_verdict",  # flagship: full quality filter (rules+pattern+ml+llm+scrub)
+    "pipeline_rules_verdict",  # oracled flagship slice (validation+pattern)
     "rule_firsthit",
     "scrub_pii",
     "dedup_minhash",

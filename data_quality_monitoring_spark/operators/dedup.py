@@ -63,14 +63,24 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, key: str, n_hashes: int = 8, band_size: int = 2
+    sig: DataFrame, key: str, n_hashes: int = 8, band_size: int = 2,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH band.
 
     Bands are concatenations of ``band_size`` minhashes; docs are grouped by
     (band_id, band_value) and pairs enumerated within buckets via self-join
-    on the bucket key — fine because LSH buckets are small by construction
-    (that is the point of banding)."""
+    on the bucket key.  Typical buckets are small (that is the point of
+    banding), BUT a boilerplate family — thousands of near-identical junk
+    pages sharing their minhashes — makes one bucket quadratic:
+    ``max_bucket`` drops (band, bucket) groups larger than the cap before
+    the self-join, bounding every bucket at cap·(cap−1)/2 pairs.  Members
+    of an oversized bucket still pair through their OTHER bands unless
+    they are wholesale near-identical — exactly the family whose canonical
+    representative survives exact dedup upstream.  Measured on 220k docs
+    with 10% planted dups and NO upstream quality filter: 298 s uncapped →
+    bounded with the cap (see BENCH.md); same verified pairs on the
+    contract corpus (max bucket there ≪ cap)."""
     n_bands = n_hashes // band_size
     bands = []
     for i in range(n_bands):
@@ -81,6 +91,14 @@ def lsh_candidate_pairs(
     buckets = banded.select(
         key, F.expr(f"stack({n_bands}, {stack_expr}) as (band, bucket)")
     )
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(hot, ["band", "bucket"], "left_anti")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
