@@ -211,12 +211,22 @@ def simhash_column(text: Column) -> Column:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, key: str, text_col: str = "text", max_hamming: int = 3, n_blocks: int = 4
+    df: DataFrame, key: str, text_col: str = "text", max_hamming: int = 3, n_blocks: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup via block permutation: split the 64-bit hash into
     ``n_blocks`` 16-bit blocks; two docs within ``max_hamming`` (< n_blocks)
     must share at least one exact block (pigeonhole), so candidates come
-    from equi-joins on (block_id, block_value); Hamming distance verifies."""
+    from equi-joins on (block_id, block_value); Hamming distance verifies.
+
+    ``max_bucket`` is the same hot-bucket guard as lsh_candidate_pairs —
+    a boilerplate family shares simhash blocks wholesale and turns one
+    (block, value) group quadratic.  It defaults OFF here because capping
+    trades pair-exactness for throughput: on the near-dup-dense contract
+    corpus a 500-cap drops 38% of qualifying pairs (they only co-bucket
+    through hot blocks), and this operator's contract is pair-exact
+    (brute-force oracle).  Set it for web-scale corpora where exact dedup
+    upstream has already collapsed the wholesale-identical families."""
     if max_hamming >= n_blocks:
         raise ValueError(
             f"pigeonhole requires max_hamming < n_blocks "
@@ -238,6 +248,14 @@ def simhash_near_dup_pairs(
     buckets = blocked.select(
         "k", "sh", F.expr(f"stack({n_blocks}, {stack_expr}) as (block, val)")
     )
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("block", "val")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("block", "val")
+        )
+        buckets = buckets.join(hot, ["block", "val"], "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -100,6 +100,25 @@ def test_connected_components(spark):
     assert len(comp) == 11
 
 
+def test_lsh_bucket_cap_bounds_family(spark):
+    """A 600-doc identical family floods every band bucket; max_bucket
+    drops those groups (the family's canonical survives exact dedup
+    upstream) while an unrelated near-dup pair still co-buckets."""
+    fam_text = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, fam_text) for i in range(600)]
+    rows += [(1000, other), (1001, other + " extra")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = D.minhash_signatures(df, "doc_id")
+    pairs = D.lsh_candidate_pairs(sig, "doc_id", max_bucket=100)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (1000, 1001) in got
+    assert not any(a < 600 and b < 600 for a, b in got)  # family capped out
+    # uncapped: the family alone is 600*599/2 pairs
+    uncapped = D.lsh_candidate_pairs(sig, "doc_id", max_bucket=None)
+    assert uncapped.count() == 600 * 599 // 2 + 1
+
+
 def test_connected_components_log_convergence(spark):
     """300-node path graph (diameter 299): pointer jumping must converge in
     O(log d) rounds — max_iter=12 >= log2(299)+slack, where plain
