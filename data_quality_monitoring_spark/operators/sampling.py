@@ -42,7 +42,12 @@ def stratified_sample(
     rates: dict[str, float],
     default_rate: float = 0.0,
 ) -> DataFrame:
-    """Keep each row iff its deterministic bucket clears its stratum's rate."""
+    """Keep each row iff its deterministic bucket clears its stratum's rate.
+
+    ``rates`` is a small map (languages/sources); for thousands of strata
+    switch the nested CASE to a broadcast-joined rates table — same gate,
+    and it avoids deep when-chains (flat constructs keep Catalyst linear,
+    see rules.first_hit)."""
     threshold = F.lit(int(default_rate * BUCKETS))
     for value, rate in sorted(rates.items()):
         threshold = F.when(F.col(strata) == value, int(rate * BUCKETS)).otherwise(

@@ -44,8 +44,8 @@ def build_corpus(
 ) -> tuple[DataFrame, dict]:
     """Returns (corpus_df[url, lang, text_scrubbed], stage-counts dict).
 
-    Stage counts are computed from the same cached intermediates the next
-    stage consumes — no extra scans of the input."""
+    Stage counts come from the cached intermediates the next stage consumes
+    (docs_in is a parquet metadata count — no data scan)."""
     filtered = quality_filter(spark, pages)
     kept = (
         filtered.filter(F.col("keep"))

@@ -98,25 +98,31 @@ def inject_catalog(
         ).when(sel.isNotNull(), corrupted_e)
         out = out.withColumn(f"_inj_{f}", picked)
     # labels BEFORE overwriting the columns: a pick only counts when the
-    # corruption actually changed the value (reference skips no-op rules)
-    label_parts = []
+    # corruption actually changed the value (reference skips no-op rules).
+    # Single-pass pivot (array → explode), not a union of per-field
+    # branches — a union would re-run every injection UDF once per field
+    # (see multifield.cell_findings for the measured rationale).
+    label_entries = []
     for f in fields:
         inj = F.col(f"_inj_{f}")
         sel = F.try_element_at(
             F.filter(F.col("_chosen"), lambda s: s["field"] == f), F.lit(1)
         )
         changed = inj.isNotNull() & ~inj["corrupted"].eqNullSafe(F.col(f))
-        label_parts.append(
-            out.filter(changed).select(
-                F.col(key),
-                F.lit(f).alias("field"),
-                F.when(sel["is_anom"], "anomaly").otherwise("error").alias("injection_type"),
-                inj["rule_name"].alias("rule_name"),
+        label_entries.append(
+            F.when(
+                changed,
+                F.struct(
+                    F.lit(f).alias("field"),
+                    F.when(sel["is_anom"], "anomaly").otherwise("error").alias("injection_type"),
+                    inj["rule_name"].alias("rule_name"),
+                ),
             )
         )
-    labels = label_parts[0]
-    for p in label_parts[1:]:
-        labels = labels.unionAll(p)
+    packed = F.filter(F.array(*label_entries), lambda x: x.isNotNull())
+    labels = out.select(F.col(key), F.explode(packed).alias("_l")).select(
+        key, "_l.field", "_l.injection_type", "_l.rule_name"
+    )
     for f in fields:
         inj = F.col(f"_inj_{f}")
         out = out.withColumn(
