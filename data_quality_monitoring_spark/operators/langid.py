@@ -120,6 +120,46 @@ def train_langid(texts_by_lang: dict[str, list[str]], alpha: float = 0.5) -> Lan
     return LangIdModel(langs, log_probs.astype(np.float32), log_priors.astype(np.float32))
 
 
+def train_langid_distributed(
+    docs, text_col: str = "text", lang_col: str = "lang", alpha: float = 0.5
+) -> LangIdModel:
+    """Distributed closed-form NB training — the reference's ``ml-train``
+    entry point (ml_based/model_training.py:134-267) as ONE Spark
+    aggregation instead of a GPU fine-tune loop.
+
+    NB training is just counting: explode each doc's hashed n-gram buckets
+    (same ``_ngram_buckets`` kernel the scorer uses, so train and serve
+    can never skew) and groupBy (lang, bucket).  The shuffle carries
+    (lang, bucket, count) partials — map-side combined, bounded by
+    L × 16384 rows regardless of corpus size — and the driver folds them
+    into the (L, B) matrix.  Bit-identical to :func:`train_langid` on the
+    same corpus (asserted in tests/test_models.py)."""
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [] if t is None else _ngram_buckets(t).astype("int32").tolist()
+        )
+
+    exploded = docs.select(
+        F.col(lang_col).alias("lang"), F.explode(buckets(F.col(text_col))).alias("bucket")
+    )
+    rows = exploded.groupBy("lang", "bucket").agg(F.count("*").alias("n")).collect()
+    doc_counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy(lang_col).agg(F.count("*").alias("n")).collect()
+    }
+    langs = sorted(doc_counts)
+    idx = {lang: i for i, lang in enumerate(langs)}
+    counts = np.zeros((len(langs), N_BUCKETS), dtype=np.float64)
+    for r in rows:
+        counts[idx[r["lang"]], r["bucket"]] += r["n"]
+    totals = counts.sum(axis=1, keepdims=True)
+    log_probs = np.log(counts + alpha) - np.log(totals + alpha * N_BUCKETS)
+    n_docs = np.array([max(doc_counts[lang], 1) for lang in langs], dtype=np.float64)
+    log_priors = np.log(n_docs / n_docs.sum())
+    return LangIdModel(langs, log_probs.astype(np.float32), log_priors.astype(np.float32))
+
+
 def langid_struct(
     spark: SparkSession, model: LangIdModel, text: Column, claimed: Column
 ) -> Column:

@@ -126,6 +126,123 @@ def train_bigram(texts: list[str], max_vocab: int = 50_000, k: float = 0.5) -> B
     return BigramLM(vocab, ctx, word, bi, n_tokens, k)
 
 
+def train_bigram_distributed(
+    docs,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    max_vocab: int = 50_000,
+    k: float = 0.5,
+) -> dict[str, BigramLM]:
+    """Distributed count-based LM training — the reference's ``llm-train``
+    entry point (llm_based/llm_model_training.py:163-314) as two Spark
+    aggregations instead of an MLM fine-tune loop.
+
+    Pass 1: per-(lang, word) counts → per-language vocab (top max_vocab by
+    (-count, word), same tie-break as :func:`train_bigram`).  Pass 2: each
+    doc emits its bigram ids (vocab broadcast; key = prev·V + cur) →
+    per-(lang, key) counts; ctx / word / n_tokens fold out of the same
+    counts, so the result is bit-identical to the local trainer on the
+    same corpus (asserted in tests/test_models.py).  Both shuffles carry
+    map-side-combined count partials bounded by vocab/bigram-type counts,
+    not corpus size; at web scale add a min-count floor before the vocab
+    cut so pass 1's collect stays small."""
+    from collections import defaultdict
+
+    spark = docs.sparkSession
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def toks(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: [] if t is None else _tokens(t))
+
+    uni = (
+        docs.select(F.col(lang_col).alias("lang"), F.explode(toks(F.col(text_col))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per_lang: dict[str, list] = defaultdict(list)
+    for r in uni:
+        per_lang[r["lang"]].append((r["w"], r["n"]))
+    vocabs: dict[str, dict[str, int]] = {}
+    for lang, wc in per_lang.items():
+        top = [w for w, _ in sorted(wc, key=lambda x: (-x[1], x[0]))][: max_vocab - 2]
+        vocab = {BOS: 1}
+        for w in top:
+            vocab[w] = len(vocab) + 1
+        vocabs[lang] = vocab
+    bc = spark.sparkContext.broadcast(vocabs)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bigram_keys(texts: pd.Series, langs_s: pd.Series) -> pd.Series:
+        vs = bc.value
+        out = []
+        for t, lg in zip(texts, langs_s):
+            vocab = vs.get(lg)
+            if t is None or vocab is None:
+                out.append([])
+                continue
+            v = len(vocab) + 1
+            ids = [vocab.get(w, UNK_ID) for w in _tokens(t)]
+            prev = vocab[BOS]
+            keys = []
+            for cur in ids:
+                keys.append(prev * v + cur)
+                prev = cur
+            out.append(keys)
+        return pd.Series(out)
+
+    counts = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(bigram_keys(F.col(text_col), F.col(lang_col))).alias("key"),
+        )
+        .groupBy("lang", "key")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    bis: dict[str, dict[tuple[int, int], float]] = defaultdict(dict)
+    for r in counts:
+        v = len(vocabs[r["lang"]]) + 1
+        bis[r["lang"]][(r["key"] // v, r["key"] % v)] = float(r["n"])
+    models: dict[str, BigramLM] = {}
+    for lang, vocab in vocabs.items():
+        v = len(vocab) + 1
+        ctx = np.zeros(v, dtype=np.float64)
+        word = np.zeros(v, dtype=np.float64)
+        n_tokens = 0.0
+        bi = bis.get(lang, {})
+        for (p, c), n in bi.items():
+            ctx[p] += n
+            word[c] += n
+            n_tokens += n
+        models[lang] = BigramLM(vocab, ctx, word, bi, n_tokens, k)
+    return models
+
+
+def save_bigram_npz(lm: BigramLM, path: str) -> None:
+    """Persist one LM as a compressed npz (vocab as parallel arrays)."""
+    words = sorted(lm.vocab, key=lm.vocab.get)
+    ids = np.array([lm.vocab[w] for w in words], dtype=np.int64)
+    keys = np.fromiter((p * len(lm.ctx) + c for p, c in lm.bi), dtype=np.int64, count=len(lm.bi))
+    vals = np.fromiter(lm.bi.values(), dtype=np.float64, count=len(lm.bi))
+    np.savez_compressed(
+        path, words=np.array(words), ids=ids, ctx=lm.ctx, word=lm.word,
+        bi_keys=keys, bi_vals=vals, n_tokens=np.array([lm.n_tokens]),
+        k=np.array([lm.k]),
+    )
+
+
+def load_bigram_npz(path: str) -> BigramLM:
+    z = np.load(path, allow_pickle=False)
+    vocab = {str(w): int(i) for w, i in zip(z["words"], z["ids"])}
+    v = len(z["ctx"])
+    bi = {
+        (int(key) // v, int(key) % v): float(val)
+        for key, val in zip(z["bi_keys"], z["bi_vals"])
+    }
+    return BigramLM(vocab, z["ctx"], z["word"], bi, float(z["n_tokens"][0]), float(z["k"][0]))
+
+
 def perplexity_column(
     spark: SparkSession,
     models: dict[str, BigramLM],

@@ -37,12 +37,15 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="web-page quality filter")
     p.add_argument(
         "--mode",
-        choices=["filter", "corpus", "single-demo", "multi-eval", "ml-curves"],
+        choices=["filter", "corpus", "single-demo", "multi-eval", "ml-curves",
+                 "ml-train", "llm-train"],
         default="filter",
         help="filter = resumable quality filter (default); corpus = filter "
         "+ dedup battery + optional sampling → final training corpus; "
         "single-demo = inject→detect→consolidated report; multi-eval = "
-        "N-sample statistical evaluation; ml-curves = threshold sweeps",
+        "N-sample statistical evaluation; ml-curves = threshold sweeps; "
+        "ml-train / llm-train = distributed model training → artifacts "
+        "(full reference main.py dispatcher parity)",
     )
     p.add_argument("--input", required=True, help="pages parquet path")
     p.add_argument("--output", required=True, help="output table root")
@@ -106,6 +109,40 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
     corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
     Path(args.output, "corpus_stats.json").write_text(json.dumps(stats, indent=1))
     return stats
+
+
+def run_ml_train(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """ml-train (reference main.py → ml_based/model_training.py): train the
+    langid NB model FROM the input corpus with one distributed aggregation
+    and persist the artifact."""
+    from pathlib import Path
+
+    from ..operators.langid import train_langid_distributed
+
+    docs = spark.read.parquet(args.input)
+    model = train_langid_distributed(docs)
+    Path(args.output).mkdir(parents=True, exist_ok=True)
+    out = str(Path(args.output) / "langid_model.npz")
+    model.to_npz(out)
+    return {"langs": model.langs, "buckets": int(model.log_probs.shape[1]), "path": out}
+
+
+def run_llm_train(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """llm-train (reference main.py → llm_based/llm_model_training.py):
+    train per-language bigram LMs distributed and persist one npz each."""
+    from pathlib import Path
+
+    from ..operators.perplexity import save_bigram_npz, train_bigram_distributed
+
+    docs = spark.read.parquet(args.input)
+    models = train_bigram_distributed(docs)
+    Path(args.output).mkdir(parents=True, exist_ok=True)
+    summary = {}
+    for lang, lm in sorted(models.items()):
+        out = str(Path(args.output) / f"bigram_{lang}.npz")
+        save_bigram_npz(lm, out)
+        summary[lang] = {"vocab": len(lm.vocab), "n_tokens": lm.n_tokens, "path": out}
+    return summary
 
 
 def _text_injection_rules() -> list[dict]:
@@ -179,6 +216,8 @@ _MODES = {
     "single-demo": run_single_demo,
     "multi-eval": run_multi_eval,
     "ml-curves": run_ml_curves,
+    "ml-train": run_ml_train,
+    "llm-train": run_llm_train,
 }
 
 

@@ -98,3 +98,73 @@ def test_golden_scores_through_spark_udfs(spark):
     assert round(rows[0]["r"]["claimed_score"], 6) == 1.0
     assert rows[0]["ppl"] == 10.763418
     assert rows[1]["ppl"] == 12.754618
+
+
+def test_distributed_training_matches_local(spark):
+    """train_langid_distributed / train_bigram_distributed are bit-identical
+    to the local closed-form trainers on the same corpus — the property
+    that lets ml-train/llm-train scale without train/serve skew."""
+    import numpy as np
+    import pandas as pd
+
+    from data_quality_monitoring_spark.artifacts import training_texts
+    from data_quality_monitoring_spark.operators.langid import (
+        train_langid,
+        train_langid_distributed,
+    )
+    from data_quality_monitoring_spark.operators.perplexity import (
+        train_bigram,
+        train_bigram_distributed,
+    )
+
+    tbl = {lang: training_texts(lang, 25) for lang in ("en", "de")}
+    rows = [(t, lang) for lang, ts in tbl.items() for t in ts]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["text", "lang"]))
+
+    local = train_langid(tbl)
+    dist = train_langid_distributed(docs)
+    assert dist.langs == local.langs
+    assert np.array_equal(dist.log_probs, local.log_probs)
+    assert np.array_equal(dist.log_priors, local.log_priors)
+
+    lms = train_bigram_distributed(docs)
+    for lang in tbl:
+        loc = train_bigram(tbl[lang])
+        got = lms[lang]
+        assert got.vocab == loc.vocab
+        assert got.n_tokens == loc.n_tokens
+        assert np.array_equal(got.ctx, loc.ctx)
+        assert np.array_equal(got.word, loc.word)
+        assert got.bi == loc.bi
+        probe = tbl[lang][0] + " zzz-unseen-token"
+        assert got.nll(probe) == loc.nll(probe)
+
+
+def test_train_cli_modes(spark, tmp_path):
+    """ml-train / llm-train CLI: artifacts persist, reload, and score."""
+    import pandas as pd
+
+    from data_quality_monitoring_spark.artifacts import training_texts
+    from data_quality_monitoring_spark.operators.langid import LangIdModel
+    from data_quality_monitoring_spark.operators.perplexity import load_bigram_npz
+    from data_quality_monitoring_spark.plans.submit import (
+        build_args,
+        run_llm_train,
+        run_ml_train,
+    )
+
+    rows = [(t, lang) for lang in ("en", "de") for t in training_texts(lang, 15)]
+    in_dir = str(tmp_path / "train_in")
+    spark.createDataFrame(pd.DataFrame(rows, columns=["text", "lang"])).write.parquet(in_dir)
+
+    out_ml = str(tmp_path / "ml_out")
+    s1 = run_ml_train(spark, build_args(["--mode", "ml-train", "--input", in_dir, "--output", out_ml]))
+    m = LangIdModel.from_npz(s1["path"])
+    assert m.langs == ["de", "en"]
+    scored = m.score_batch(pd.Series([rows[0][0]]), pd.Series(["en"]))
+    assert scored["pred_lang"][0] in ("en", "de")
+
+    out_llm = str(tmp_path / "llm_out")
+    s2 = run_llm_train(spark, build_args(["--mode", "llm-train", "--input", in_dir, "--output", out_llm]))
+    lm = load_bigram_npz(s2["en"]["path"])
+    assert lm.nll(rows[0][0]) < lm.nll("zx qv jk wp zx qv jk wp")
