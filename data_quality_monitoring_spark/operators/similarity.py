@@ -74,6 +74,27 @@ def train_centroids(
     return centroids / np.clip(norms, 1e-12, None)
 
 
+def train_centroids_mllib(
+    corpus: DataFrame, vec_col: str, n_cells: int = 16, iters: int = 20, seed: int = 11
+) -> np.ndarray:
+    """The billions-of-vectors coarse quantizer: pyspark.ml KMeans over the
+    FULL corpus (distributed Lloyd iterations), same contract as
+    :func:`train_centroids` — returns L2-normalized (n_cells, dim).
+    Use when a 10k driver sample stops being representative; recall is
+    pinned vs exact the same way (tests/test_similarity.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=n_cells, maxIter=iters, seed=seed, initMode="k-means||")
+    model = km.fit(feats)
+    centroids = np.asarray([np.asarray(c) for c in model.clusterCenters()], dtype="float64")
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    return centroids / np.clip(norms, 1e-12, None)
+
+
 def _cell_udf(centroids: np.ndarray, n_probe: int = 1):
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def cells(vecs: pd.Series) -> pd.Series:

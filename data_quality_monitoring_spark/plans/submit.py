@@ -38,7 +38,7 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--mode",
         choices=["filter", "corpus", "single-demo", "multi-eval", "ml-curves",
-                 "ml-train", "llm-train"],
+                 "ml-train", "llm-train", "analyze-column"],
         default="filter",
         help="filter = resumable quality filter (default); corpus = filter "
         "+ dedup battery + optional sampling → final training corpus; "
@@ -63,6 +63,7 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         help='corpus mode per-lang keep rates as JSON, e.g. \'{"en": 0.5}\'',
     )
     p.add_argument("--default-rate", type=float, default=1.0, help="corpus sample default")
+    p.add_argument("--field", default="lang", help="analyze-column target field")
     return p.parse_args(argv)
 
 
@@ -145,6 +146,22 @@ def run_llm_train(spark: SparkSession, args: argparse.Namespace) -> dict:
     return summary
 
 
+def run_analyze_column(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """analyze-column (reference main.py → analyze_column.py:140-158):
+    the profiling flow through the same dispatcher."""
+    from pathlib import Path
+
+    from .analyze import analyze_column
+
+    df = spark.read.parquet(args.input)
+    report = analyze_column(df, args.field)
+    Path(args.output).mkdir(parents=True, exist_ok=True)
+    Path(args.output, f"analyze_{args.field}.json").write_text(
+        json.dumps(report, indent=2, default=str)
+    )
+    return {"column": args.field, "n_top_values": len(report["top_values"])}
+
+
 def _text_injection_rules() -> list[dict]:
     from pathlib import Path
 
@@ -218,6 +235,7 @@ _MODES = {
     "ml-curves": run_ml_curves,
     "ml-train": run_ml_train,
     "llm-train": run_llm_train,
+    "analyze-column": run_analyze_column,
 }
 
 

@@ -125,3 +125,21 @@ def test_corpus_mode(spark, tmp_path):
     assert {"url", "lang", "text_scrubbed"} <= set(corpus.columns)
     on_disk = json.loads((tmp_path / "corpus_out" / "corpus_stats.json").read_text())
     assert on_disk == stats
+
+
+def test_analyze_column_mode(spark, tmp_path):
+    import json
+
+    from data_quality_monitoring_spark.plans.submit import run_analyze_column
+
+    in_dir = str(tmp_path / "in_a")
+    out_dir = str(tmp_path / "analyze_out")
+    generate_pages(spark, 120, partitions=2).write.parquet(in_dir)
+    args = build_args(
+        ["--mode", "analyze-column", "--input", in_dir, "--output", out_dir,
+         "--field", "lang"]
+    )
+    summary = run_analyze_column(spark, args)
+    assert summary["column"] == "lang" and summary["n_top_values"] > 0
+    on_disk = json.loads((tmp_path / "analyze_out" / "analyze_lang.json").read_text())
+    assert on_disk["column"] == "lang" and on_disk["stats"]["n_rows"] == 120
