@@ -165,3 +165,21 @@ def test_scrub_native_matches_python_fuzz(spark, values):
     native = [r["s"] for r in df.select(scrub_column(F.col("t")).alias("s")).collect()]
     python = [scrub_str(t) for t in values]
     assert native == python
+
+
+@settings(max_examples=15, deadline=None)
+@given(pii_texts)
+def test_scrub_triple_parity_fuzz(spark, values):
+    """Java regexp_replace == Python re.sub == DuckDB RE2 'g' on the scrub
+    chain — three regex engines, one byte-identity invariant."""
+    import duckdb
+
+    from data_quality_monitoring_spark.operators.scrub import scrub_sql
+
+    df = spark.createDataFrame(pd.DataFrame({"t": pd.Series(values, dtype="object")}))
+    native = [r["s"] for r in df.select(scrub_column(F.col("t")).alias("s")).collect()]
+    python = [scrub_str(t) for t in values]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(values)), "t": pd.Series(values, dtype="object")}))
+    sql = [r[0] for r in con.execute(f"SELECT {scrub_sql('t')} FROM t ORDER BY i").fetchall()]
+    assert native == python == sql
