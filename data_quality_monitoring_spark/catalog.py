@@ -13,13 +13,10 @@ same rules through the independent SQL compiler (``oracle_sql.py``).
 
 from __future__ import annotations
 
-import json
-from pathlib import Path
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_RULESETS = Path(__file__).parent / "rulesets" / "catalog"
+from .resources import read_package_json
 
 # fixture strings per field, indexed by doc_id % len(fixtures).
 # None → SQL NULL.  ASCII only: the Spark engine evaluates regexes with
@@ -89,16 +86,17 @@ CATALOG_FIELDS = list(CATALOG_FIXTURES)
 
 
 def load_field_rules(field: str, group: str = "validators") -> list[dict]:
-    """Load one ported reference ruleset (rulesets/catalog/<group>/<field>.json)."""
-    return json.loads((_RULESETS / group / f"{field}.json").read_text())["rules"]
+    """Load one ported reference ruleset (rulesets/catalog/<group>/<field>.json);
+    zip-safe for --py-files packaging (resources.py)."""
+    return read_package_json("rulesets", "catalog", group, f"{field}.json")["rules"]
 
 
 def load_pattern_config(field: str) -> dict:
-    return json.loads((_RULESETS / "patterns" / f"{field}.json").read_text())
+    return read_package_json("rulesets", "catalog", "patterns", f"{field}.json")
 
 
 def load_injection_rules(field: str, group: str = "error_injection") -> list[dict]:
-    return json.loads((_RULESETS / group / f"{field}.json").read_text())["rules"]
+    return read_package_json("rulesets", "catalog", group, f"{field}.json")["rules"]
 
 
 def build_catalog(documents: DataFrame, key: str = "doc_id") -> DataFrame:

@@ -17,29 +17,28 @@ combine — the classic two-phase aggregation.
 
 from __future__ import annotations
 
-import json
-from pathlib import Path
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..artifacts import get_bigram_models, get_langid_model
 from ..operators import langid as L
 from ..operators import perplexity as P
-from ..operators.patterns import load_pattern_config, pattern_finding
-from ..operators.rules import all_findings, first_hit, load_ruleset
+from ..operators.patterns import pattern_finding
+from ..operators.rules import all_findings, first_hit
 from ..operators.scrub import scrub_column
 from ..operators.verdict import priority_verdict, weighted_verdict
 
-RULESET_DIR = Path(__file__).resolve().parent.parent / "rulesets"
-
-
 def default_rules() -> list[dict]:
-    return load_ruleset(RULESET_DIR / "text_quality.json")
+    # zip-safe: the package may live inside a --py-files zip (resources.py)
+    from ..resources import read_package_json
+
+    return read_package_json("rulesets", "text_quality.json")["rules"]
 
 
 def default_pattern_cfg() -> dict:
-    return load_pattern_config(RULESET_DIR / "lang_pattern.json")
+    from ..resources import read_package_json
+
+    return read_package_json("rulesets", "lang_pattern.json")
 
 
 def quality_filter(

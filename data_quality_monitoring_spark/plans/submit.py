@@ -163,10 +163,9 @@ def run_analyze_column(spark: SparkSession, args: argparse.Namespace) -> dict:
 
 
 def _text_injection_rules() -> list[dict]:
-    from pathlib import Path
+    from ..resources import read_package_json
 
-    path = Path(__file__).parents[1] / "rulesets" / "text_injection.json"
-    return json.loads(path.read_text())["rules"]
+    return read_package_json("rulesets", "text_injection.json")["rules"]
 
 
 def run_single_demo(spark: SparkSession, args: argparse.Namespace) -> dict:
