@@ -420,6 +420,75 @@ def _jaccard_pairs(d: DataFrame) -> DataFrame:
     )
 
 
+LINE_BOILER = "all rights reserved subscribe to our newsletter today"
+LINE_DF_CAP = 50
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document LINE dedup (dedup.drop_duplicate_lines):
+    boilerplate lines shared by > LINE_DF_CAP docs vanish from every doc,
+    surviving lines keep their order.
+
+    The driver corpus is single-line, so the query derives multi-line docs
+    deterministically (8-word chunks; even doc_ids get a planted
+    boilerplate first line shared by half the corpus — df ≈ 250 ≫ cap),
+    then checks the rebuilt text by md5.  Both engines derive the same
+    lines, so the oracle is exact."""
+    from .operators.dedup import drop_duplicate_lines
+
+    d = _read(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    nl = ((n + F.lit(7)) / F.lit(8)).cast("int")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), nl - F.lit(1)),
+            lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.concat(F.array(F.lit(LINE_BOILER)), chunks),
+    ).otherwise(chunks)
+    docs = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = drop_duplicate_lines(docs, "doc_id", max_line_df=LINE_DF_CAP)
+    return out.select(
+        "doc_id", "n_lines_kept", F.md5("text_deduped").alias("content_md5")
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_SQL.format(c="text")} AS words FROM documents
+), lined AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN list_prepend('{LINE_BOILER}', chunks) ELSE chunks END AS lines
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(words) > 0 THEN
+             list_transform(range(0, (len(words) + 7) // 8),
+                            i -> array_to_string(words[i*8+1 : i*8+8], ' '))
+           ELSE []::VARCHAR[] END AS chunks
+    FROM t)
+), ex AS (
+  SELECT doc_id, unnest(lines) AS line, generate_subscripts(lines, 1) AS pos
+  FROM lined
+), hot AS (
+  SELECT line FROM ex GROUP BY line HAVING count(DISTINCT doc_id) > {LINE_DF_CAP}
+), kept AS (
+  SELECT * FROM ex WHERE line NOT IN (SELECT line FROM hot)
+), rebuilt AS (
+  SELECT doc_id, count(*) AS n, string_agg(line, chr(10) ORDER BY pos) AS txt
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id, coalesce(r.n, 0)::BIGINT AS n_lines_kept,
+       md5(coalesce(r.txt, '')) AS content_md5
+FROM lined l LEFT JOIN rebuilt r ON l.doc_id = r.doc_id
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS: the keep-one-per-group step every
     dedup family needs before a corpus is scrubbed.  Connected components
@@ -1508,6 +1577,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "line_dedup": q_line_dedup,
     "similarity_topk": q_similarity_topk,
     "centroid_similarity": q_centroid_similarity,
     "token_stats": q_token_stats,
@@ -1552,6 +1622,7 @@ ORACLES = {
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "line_dedup": SQL_LINE_DEDUP,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "centroid_similarity": SQL_CENTROID_SIMILARITY,
     "token_stats": SQL_TOKEN_STATS,

@@ -364,6 +364,54 @@ def embedding_near_dup_pairs(
     )
 
 
+def drop_duplicate_lines(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    max_line_df: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style cross-document LINE dedup: a line occurring in more than
+    ``max_line_df`` documents is boilerplate (navbars, cookie banners,
+    footers) and is removed from EVERY document, preserving the order of
+    the surviving lines.
+
+    Plan: posexplode lines → document frequency per line (two-phase count
+    distinct) → anti-join the hot-line set (tiny by the same argument as
+    ``cap_shingle_df``; AQE broadcasts it) → rebuild each doc with
+    collect_list(struct(pos, line)) + array_sort (sorts on the leading pos
+    field) + concat_ws.  One wide shuffle on the line hash, one on the doc
+    key — both with map-side partial aggregation.
+
+    Returns docs with ``text_deduped`` and ``n_lines_kept`` columns (docs
+    whose every line was boilerplate keep an empty string)."""
+    lines = docs.select(
+        F.col(key), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(key).alias("_df"))
+        .filter(F.col("_df") > max_line_df)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy(key).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_deduped"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    return (
+        docs.join(rebuilt, key, "left")
+        .withColumn("text_deduped", F.coalesce("text_deduped", F.lit("")))
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+    )
+
+
 def connected_components(
     pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
 ) -> DataFrame:

@@ -100,6 +100,24 @@ def test_connected_components(spark):
     assert len(comp) == 11
 
 
+def test_drop_duplicate_lines(spark):
+    """Boilerplate line in 30/40 docs vanishes everywhere; unique lines
+    keep their order; an all-boilerplate doc rebuilds to empty."""
+    boiler = "all rights reserved"
+    rows = []
+    for i in range(40):
+        body = f"unique line {i} alpha\nsecond line {i} beta"
+        rows.append((i, f"{boiler}\n{body}" if i < 30 else body))
+    rows.append((99, boiler))  # nothing but boilerplate
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in D.drop_duplicate_lines(df, "doc_id", max_line_df=10).collect()}
+    assert out[0]["text_deduped"] == "unique line 0 alpha\nsecond line 0 beta"
+    assert out[0]["n_lines_kept"] == 2
+    assert out[35]["text_deduped"] == "unique line 35 alpha\nsecond line 35 beta"
+    assert out[99]["text_deduped"] == "" and out[99]["n_lines_kept"] == 0
+    assert all(boiler not in r["text_deduped"] for r in out.values())
+
+
 def test_lsh_bucket_cap_bounds_family(spark):
     """A 600-doc identical family floods every band bucket; max_bucket
     drops those groups (the family's canonical survives exact dedup
