@@ -420,6 +420,48 @@ def _jaccard_pairs(d: DataFrame) -> DataFrame:
     )
 
 
+# DECOMPOSED e+U+0301 (composes to é under NFC), ﬁ ligature (NFC-invariant
+# stability probe), DECOMPOSED A+U+030A, then two C0 control bytes --
+# appended to every doc so NFC + control-strip are non-vacuous on the
+# ASCII driver corpus.  The oracle rebuilds the suffix from chr() calls
+# generated off this exact constant, so both engines see identical code points.
+NORM_SUFFIX = " cafe\u0301 \ufb01le A\u030a\x01\x02"
+
+
+def q_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization tier (operators/normalize.py): NFC collapses
+    decomposed accents/ligature-compatible sequences, control bytes are
+    stripped — checked by md5 of the normalized text plus before/after
+    char lengths (BMP-only suffix, so Spark's UTF-16 length == DuckDB's
+    code-point length)."""
+    from .operators.normalize import normalize_text
+
+    d = _read(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit(NORM_SUFFIX))
+    norm = normalize_text(raw)
+    return d.select(
+        "doc_id",
+        F.length(raw).alias("len_raw"),
+        F.length(norm).alias("len_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+def _normalize_unicode_sql() -> str:
+    from .operators.normalize import normalize_sql
+
+    suffix = " || ".join(f"chr({ord(c)})" for c in NORM_SUFFIX)
+    raw = f"(text || {suffix})"
+    return (
+        f"SELECT doc_id, length({raw}) AS len_raw, "
+        f"length({normalize_sql(raw)}) AS len_norm, "
+        f"md5({normalize_sql(raw)}) AS norm_md5 FROM documents"
+    )
+
+
+SQL_NORMALIZE_UNICODE = _normalize_unicode_sql()
+
+
 LINE_BOILER = "all rights reserved subscribe to our newsletter today"
 LINE_DF_CAP = 50
 
@@ -1578,6 +1620,7 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "line_dedup": q_line_dedup,
+    "normalize_unicode": q_normalize_unicode,
     "similarity_topk": q_similarity_topk,
     "centroid_similarity": q_centroid_similarity,
     "token_stats": q_token_stats,
@@ -1623,6 +1666,7 @@ ORACLES = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "line_dedup": SQL_LINE_DEDUP,
+    "normalize_unicode": SQL_NORMALIZE_UNICODE,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "centroid_similarity": SQL_CENTROID_SIMILARITY,
     "token_stats": SQL_TOKEN_STATS,

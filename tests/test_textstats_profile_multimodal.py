@@ -122,3 +122,19 @@ def test_repetition_stats_pinned(spark):
     # "p q p q p": top word p=3/5; bigrams pq,qp,pq,qp → top 2/4
     assert abs(out[5]["top_word_frac"] - 0.6) < 1e-12
     assert abs(out[5]["top_bigram_frac"] - 0.5) < 1e-12
+
+
+def test_normalize_text_unicode(spark):
+    """NFC composes decomposed accents; control bytes stripped; \\t\\n kept."""
+    import unicodedata
+
+    from data_quality_monitoring_spark.operators.normalize import normalize_text
+
+    decomposed = "café Å"
+    rows = [(1, decomposed + "\x01\x02"), (2, "tab\there\nline"), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = {r["i"]: r["n"] for r in df.select("i", normalize_text(F.col("t")).alias("n")).collect()}
+    assert out[1] == unicodedata.normalize("NFC", decomposed)
+    assert "\x01" not in out[1] and len(out[1]) == len(decomposed) - 2
+    assert out[2] == "tab\there\nline"  # \t \n survive
+    assert out[3] is None and out[4] == ""
