@@ -462,6 +462,44 @@ def _normalize_unicode_sql() -> str:
 SQL_NORMALIZE_UNICODE = _normalize_unicode_sql()
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.decontaminate): docs with doc_id <
+    10 play the eval set; every corpus doc reports how many distinct
+    5-word shingles it shares with it.  Eval shingles broadcast; corpus
+    shingles never shuffle.  Benchmark docs self-match (n ≫ 0) and
+    near-dup family members light up — both asserted by the oracle's
+    identical relational form."""
+    from .operators.dedup import decontaminate
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10)
+    return decontaminate(d, bench, "doc_id", k=5)
+
+
+_SHINGLES5_SQL = """
+list_distinct(
+  CASE WHEN len(words) >= 5
+       THEN list_transform(range(1, len(words) - 3),
+                           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                || ' ' || words[i+3] || ' ' || words[i+4])
+       ELSE [] END)
+"""
+
+SQL_DECONTAMINATION = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_SQL.format(c="text")} AS words FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLES5_SQL}) AS s FROM t
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < 10
+), hits AS (
+  SELECT doc_id, count(*) AS n FROM sh JOIN bench USING (s) GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(hits.n, 0)::BIGINT AS n_contaminated
+FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+"""
+
+
 LINE_BOILER = "all rights reserved subscribe to our newsletter today"
 LINE_DF_CAP = 50
 
@@ -1621,6 +1659,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "line_dedup": q_line_dedup,
     "normalize_unicode": q_normalize_unicode,
+    "decontamination": q_decontamination,
     "similarity_topk": q_similarity_topk,
     "centroid_similarity": q_centroid_similarity,
     "token_stats": q_token_stats,
@@ -1667,6 +1706,7 @@ ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "line_dedup": SQL_LINE_DEDUP,
     "normalize_unicode": SQL_NORMALIZE_UNICODE,
+    "decontamination": SQL_DECONTAMINATION,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "centroid_similarity": SQL_CENTROID_SIMILARITY,
     "token_stats": SQL_TOKEN_STATS,

@@ -412,6 +412,41 @@ def drop_duplicate_lines(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    key: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: count, per document, how many distinct
+    ``k``-word shingles it shares with an evaluation set — the standard
+    pre-training step that keeps eval data out of the corpus (docs with
+    ``n_contaminated > 0`` are dropped or audited).
+
+    The benchmark side is tiny relative to the corpus (eval sets are
+    thousands of docs, the corpus is billions), so its DISTINCT shingle set
+    broadcasts and the corpus-side explode joins against it map-side — no
+    wide shuffle of corpus shingles.  Long shingles (k=8 words ≈ 13-gram
+    token windows in the literature) keep false positives near zero."""
+    bench = (
+        benchmark.select(F.explode(shingle_column(F.col(bench_text_col), k)).alias("shingle"))
+        .distinct()
+    )
+    d = docs.select(F.col(key), F.explode(shingle_column(F.col(text_col), k)).alias("shingle"))
+    hits = (
+        d.join(F.broadcast(bench), "shingle")
+        .groupBy(key)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        docs.select(key)
+        .join(hits, key, "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+    )
+
+
 def connected_components(
     pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
 ) -> DataFrame:

@@ -118,6 +118,21 @@ def test_drop_duplicate_lines(spark):
     assert all(boiler not in r["text_deduped"] for r in out.values())
 
 
+def test_decontaminate(spark):
+    """A doc embedding a benchmark 8-gram is flagged; clean docs are 0."""
+    bench_text = "the quick brown fox jumps over the lazy dog tonight again"
+    corpus = [
+        (1, "intro words then " + bench_text + " trailing words here"),  # contains it
+        (2, "totally unrelated content about spark catalyst plans and arrow batches ok"),
+        (3, bench_text),  # the benchmark doc itself
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    bench = spark.createDataFrame([(99, bench_text)], ["doc_id", "text"])
+    out = {r["doc_id"]: r["n_contaminated"] for r in D.decontaminate(docs, bench, "doc_id", k=8).collect()}
+    assert out[1] > 0 and out[3] > 0
+    assert out[2] == 0
+
+
 def test_lsh_bucket_cap_bounds_family(spark):
     """A 600-doc identical family floods every band bucket; max_bucket
     drops those groups (the family's canonical survives exact dedup
