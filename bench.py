@@ -32,8 +32,11 @@ HEADLINE = [
     "dedup_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "line_dedup",
+    "decontamination",
     "embedding_near_dup",
     "repetition_stats",
+    "normalize_unicode",
     "multifield_cells",
     "similarity_topk",
     "centroid_similarity",
