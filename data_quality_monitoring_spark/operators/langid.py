@@ -140,6 +140,9 @@ def train_langid_distributed(
             lambda t: [] if t is None else _ngram_buckets(t).astype("int32").tolist()
         )
 
+    # rows with no language tag can't contribute to a per-lang model —
+    # filter BEFORE aggregating (real web corpora always contain some)
+    docs = docs.filter(F.col(lang_col).isNotNull())
     exploded = docs.select(
         F.col(lang_col).alias("lang"), F.explode(buckets(F.col(text_col))).alias("bucket")
     )

@@ -149,6 +149,9 @@ def train_bigram_distributed(
     from collections import defaultdict
 
     spark = docs.sparkSession
+    # untagged rows can't train a per-lang LM (and a None key would break
+    # the per-lang vocab sort downstream)
+    docs = docs.filter(F.col(lang_col).isNotNull())
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def toks(texts: pd.Series) -> pd.Series:
