@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from .operators.extract import wrap_html
+
 PAGES_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -161,7 +163,10 @@ def make_page(doc_id: int) -> dict:
         text = None
     elif doc_id % 97 == 29:
         text = ""
-    html = None if text is None else f"<html><body>{text}</body></html>".encode()
+    # rich deterministic page (head/title/script/style/comment noise,
+    # entity-escaped body) — operators.extract.html_to_text round-trips it
+    # byte-identically, which is the north rule's per-url invariant
+    html = None if text is None else wrap_html(text, doc_id, title=f"page {doc_id}")
     ts = pd.Timestamp(_EPOCH_NS + doc_id * 60_000_000_000)  # one page a minute
     return {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": lang}
 

@@ -990,6 +990,43 @@ SQL_FINGERPRINT = (
 )
 
 
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction, the north rule's byte-identity invariant.
+
+    Both engines build the same rich page inline from ``documents.text``
+    (entity-escape + head/script/style/comment noise via
+    ``wrap_html_sql``), round it through binary, extract with their own
+    engine's regex chain, and emit the extracted text plus a
+    ``roundtrip_ok`` bit tying the output back to the raw source text.
+    The value-hash compare therefore certifies byte-identical extraction
+    across Spark (Java regex) and DuckDB (RE2).  Spark side is a pure
+    Column chain — whole-stage codegen, no UDF."""
+    from .operators.extract import html_to_text, wrap_html_sql
+
+    d = _read(spark, sf_dir, "documents")
+    html = F.encode(F.expr(wrap_html_sql("text", "cast(doc_id as string)")), "UTF-8")
+    extracted = html_to_text(html)
+    return d.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        extracted.eqNullSafe(F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+def _extract_text_sql() -> str:
+    from .operators.extract import html_to_text_sql, wrap_html_sql
+
+    page = f"decode(encode({wrap_html_sql('text', 'doc_id::VARCHAR')}))"
+    ex = html_to_text_sql(page)
+    return (
+        f"SELECT doc_id, {ex} AS extracted, "
+        f"({ex} IS NOT DISTINCT FROM text) AS roundtrip_ok FROM documents"
+    )
+
+
+SQL_EXTRACT_TEXT = _extract_text_sql()
+
+
 def q_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish sub-word token accounting per source."""
     from .operators.textstats import bpe_ish_token_count
@@ -1670,6 +1707,7 @@ QUERIES = {
     "lang_heuristic": q_lang_heuristic,
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
+    "extract_text": q_extract_text,
     "token_bpeish": q_token_bpeish,
     "dedup_simhash": q_dedup_simhash,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1717,6 +1755,7 @@ ORACLES = {
     "lang_heuristic": SQL_LANG_HEURISTIC,
     "quality_score": SQL_QUALITY_SCORE,
     "fingerprint": SQL_FINGERPRINT,
+    "extract_text": SQL_EXTRACT_TEXT,
     "token_bpeish": SQL_TOKEN_BPEISH,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
