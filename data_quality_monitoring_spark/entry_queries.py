@@ -948,12 +948,25 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the quality score — the filter-metrics
+    distribution table (north star: per-rule fire counts, langid
+    distribution, perplexity histograms), oracled through the same
+    ``metrics.histogram`` operator the perplexity table uses."""
+    from .operators.metrics import histogram
+    from .operators.textstats import quality_score
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(F.round(quality_score(F.col("text")), 6).alias("q"))
+    return histogram(scored, "q", 0.0, 1.0, n_buckets=20)
+
+
 _STOPS20 = (
     "['the','a','of','and','to','in','is','was','for','that','it',"
     "'with','as','on','be','at','by','this','had','not']"
 )
 
-SQL_QUALITY_SCORE = f"""
+_QS_CTES = f"""
 WITH t AS (
   SELECT lang, text, {_WORDS_SQL.format(c="text")} AS words,
          {_WORDS_SQL.format(c="lower(text)")} AS lwords,
@@ -972,8 +985,29 @@ WITH t AS (
     + 0.2 * least(len(words) / 100.0, 1.0), 6) AS q
   FROM t
 )
-SELECT lang, round(avg(q), 4) AS avg_quality, count(*) AS n FROM s GROUP BY lang
 """
+
+SQL_QUALITY_SCORE = (
+    _QS_CTES
+    + "SELECT lang, round(avg(q), 4) AS avg_quality, count(*) AS n FROM s GROUP BY lang"
+)
+
+# same width_bucket semantics as metrics.histogram (q<lo → 0, q>=hi → n+1,
+# else floor((q-lo)/width)+1); q is rounded to 6dp in BOTH engines first so
+# bucket-edge doubles are bit-identical
+SQL_SCORE_HISTOGRAM = (
+    _QS_CTES
+    + """
+, b AS (
+  SELECT CASE WHEN q < 0.0 THEN 0
+              WHEN q >= 1.0 THEN 21
+              ELSE (floor(q / 0.05) + 1)::INT END AS bucket
+  FROM s WHERE q IS NOT NULL
+)
+SELECT bucket, count(*) AS n, round((bucket - 1) * 0.05, 6) AS lo
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1706,6 +1740,7 @@ QUERIES = {
     "pipeline_rules_verdict": q_pipeline_rules_verdict,
     "lang_heuristic": q_lang_heuristic,
     "quality_score": q_quality_score,
+    "score_histogram": q_score_histogram,
     "fingerprint": q_fingerprint,
     "extract_text": q_extract_text,
     "token_bpeish": q_token_bpeish,
@@ -1754,6 +1789,7 @@ ORACLES = {
     "pipeline_rules_verdict": SQL_PIPELINE_RULES_VERDICT,
     "lang_heuristic": SQL_LANG_HEURISTIC,
     "quality_score": SQL_QUALITY_SCORE,
+    "score_histogram": SQL_SCORE_HISTOGRAM,
     "fingerprint": SQL_FINGERPRINT,
     "extract_text": SQL_EXTRACT_TEXT,
     "token_bpeish": SQL_TOKEN_BPEISH,

@@ -124,6 +124,30 @@ def salted_group_count(df: DataFrame, key: Column, n_salt: int = 16) -> DataFram
     return salted.groupBy("k").agg(F.sum("count").alias("n")).withColumnRenamed("k", "key")
 
 
+def filter_metrics(result: DataFrame) -> dict[str, DataFrame]:
+    """The north star's filter-metrics tables from one pipeline result:
+    per-rule fire counts, langid distribution, perplexity histogram.
+
+    Each is a small aggregate over the already-computed result columns —
+    at 100 TB they are map-side-combined groupBys whose outputs are a few
+    hundred rows, written next to the data by the resumable sink (see
+    ``sources/manifest.PartitionedSink``) so a resumed run appends to the
+    same metrics tables it left off at."""
+    from ..operators.metrics import histogram, rule_fire_counts
+
+    out: dict[str, DataFrame] = {"rule_fires": rule_fire_counts(result)}
+    cols = set(result.columns)
+    if "langid" in cols:
+        out["lang_dist"] = (
+            result.groupBy(
+                F.coalesce(F.col("langid")["pred_lang"], F.lit("unknown")).alias("lang")
+            ).agg(F.count("*").alias("n"))
+        )
+    if "ppl_score" in cols:
+        out["ppl_hist"] = histogram(result, "ppl_score", 0.0, 10.0, n_buckets=20)
+    return out
+
+
 def run_manifest(result: DataFrame) -> dict:
     """Small driver-side run summary (reference run-summary dict,
     comprehensive_detector.py:841-859)."""

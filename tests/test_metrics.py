@@ -74,3 +74,27 @@ def test_threshold_sweep_excludes_null_scores(spark):
     # the NULL-score row is excluded entirely: counts cover exactly 2 rows
     assert out["tp"] + out["fp"] + out["fn"] + out["tn"] == 2
     assert out["tp"] == 1 and out["tn"] == 1
+
+
+def test_filter_metrics_tables(spark):
+    """North-star filter-metrics tables: per-rule fire counts, langid
+    distribution, perplexity histogram — all from one pipeline result."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.datagen import generate_pages
+    from data_quality_monitoring_spark.plans.pipeline import filter_metrics, quality_filter
+
+    res = quality_filter(spark, generate_pages(spark, 200, partitions=4)).persist()
+    m = filter_metrics(res)
+    assert set(m) == {"rule_fires", "lang_dist", "ppl_hist"}
+    n = res.count()
+    fires = m["rule_fires"].toPandas()
+    assert fires.n.sum() == n  # every doc lands in exactly one (method, code)
+    assert "pass" in set(fires.method)  # kept docs appear as the PASS row
+    langs = m["lang_dist"].toPandas()
+    assert langs.n.sum() == n
+    scored = res.filter(F.col("ppl_score").isNotNull()).count()
+    hist = m["ppl_hist"].toPandas()
+    assert hist.n.sum() == scored
+    assert (hist.bucket.between(0, 21)).all()
+    res.unpersist()
