@@ -96,10 +96,19 @@ def threshold_sweep(
     )
 
 
-def histogram(df: DataFrame, col: str, lo: float, hi: float, n_buckets: int = 20) -> DataFrame:
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 20,
+    group_cols: tuple[str, ...] = (),
+    bucket_col: str = "bucket",
+) -> DataFrame:
     """Fixed-width histogram (perplexity/score distributions for the
     filter-metrics tables).  width_bucket semantics: values < lo → bucket 0,
-    ≥ hi → n_buckets+1."""
+    ≥ hi → n_buckets+1.  ``group_cols`` prepends grouping keys (e.g. the
+    sink's commit bucket) for per-partition metrics tables."""
     width = (hi - lo) / n_buckets
     b = (
         F.when(F.col(col) < lo, 0)
@@ -108,18 +117,25 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float, n_buckets: int = 20
     )
     return (
         df.filter(F.col(col).isNotNull())
-        .groupBy(b.cast("int").alias("bucket"))
+        .groupBy(*group_cols, b.cast("int").alias(bucket_col))
         .agg(F.count("*").alias("n"))
-        .withColumn("lo", F.round(F.lit(lo) + (F.col("bucket") - 1) * width, 6))
-        .orderBy("bucket")
+        .withColumn("lo", F.round(F.lit(lo) + (F.col(bucket_col) - 1) * width, 6))
+        .orderBy(bucket_col)
     )
 
 
-def rule_fire_counts(result: DataFrame, verdict_col: str = "verdict") -> DataFrame:
-    """Per-rule fire counts from a pipeline result (filter-metrics table)."""
+def rule_fire_counts(
+    result: DataFrame,
+    verdict_col: str = "verdict",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-rule fire counts from a pipeline result (filter-metrics table).
+    ``group_cols`` prepends keys (e.g. the sink's commit bucket) for
+    per-partition metrics."""
     v = F.col(verdict_col)
     return (
         result.groupBy(
+            *group_cols,
             F.coalesce(v["method"], F.lit("pass")).alias("method"),
             F.coalesce(v["code"], F.lit("PASS")).alias("code"),
         )

@@ -124,27 +124,37 @@ def salted_group_count(df: DataFrame, key: Column, n_salt: int = 16) -> DataFram
     return salted.groupBy("k").agg(F.sum("count").alias("n")).withColumnRenamed("k", "key")
 
 
-def filter_metrics(result: DataFrame) -> dict[str, DataFrame]:
+def filter_metrics(
+    result: DataFrame, group_cols: tuple[str, ...] = ()
+) -> dict[str, DataFrame]:
     """The north star's filter-metrics tables from one pipeline result:
     per-rule fire counts, langid distribution, perplexity histogram.
 
     Each is a small aggregate over the already-computed result columns —
     at 100 TB they are map-side-combined groupBys whose outputs are a few
-    hundred rows, written next to the data by the resumable sink (see
-    ``sources/manifest.PartitionedSink``) so a resumed run appends to the
-    same metrics tables it left off at."""
+    hundred rows.  With ``group_cols=("bucket",)`` the tables are keyed by
+    the resumable sink's commit bucket, so ``PartitionedSink.run(...,
+    metrics_fn=...)`` checkpoints them per partition alongside lineage and
+    a resumed run appends exactly the missing buckets' rows."""
     from ..operators.metrics import histogram, rule_fire_counts
 
-    out: dict[str, DataFrame] = {"rule_fires": rule_fire_counts(result)}
+    out: dict[str, DataFrame] = {
+        "rule_fires": rule_fire_counts(result, group_cols=group_cols)
+    }
     cols = set(result.columns)
     if "langid" in cols:
         out["lang_dist"] = (
             result.groupBy(
-                F.coalesce(F.col("langid")["pred_lang"], F.lit("unknown")).alias("lang")
+                *group_cols,
+                F.coalesce(F.col("langid")["pred_lang"], F.lit("unknown")).alias("lang"),
             ).agg(F.count("*").alias("n"))
         )
     if "ppl_score" in cols:
-        out["ppl_hist"] = histogram(result, "ppl_score", 0.0, 10.0, n_buckets=20)
+        out["ppl_hist"] = histogram(
+            result, "ppl_score", 0.0, 10.0, n_buckets=20, group_cols=group_cols,
+            # the histogram bin must not shadow the sink's commit bucket
+            bucket_col="bin" if "bucket" in group_cols else "bucket",
+        )
     return out
 
 

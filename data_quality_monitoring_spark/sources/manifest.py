@@ -48,6 +48,7 @@ class PartitionedSink:
         self.data_dir = self.root / "data"
         self.manifest_dir = self.root / "_manifest"
         self.lineage_dir = self.root / "_lineage"
+        self.metrics_dir = self.root / "_metrics"
         for d in (self.data_dir, self.manifest_dir, self.lineage_dir):
             d.mkdir(parents=True, exist_ok=True)
 
@@ -83,12 +84,22 @@ class PartitionedSink:
         pages: DataFrame,
         transform: Callable[[DataFrame], DataFrame],
         fail_after_chunks: int | None = None,
+        metrics_fn: Callable[[DataFrame], dict[str, DataFrame]] | None = None,
     ) -> dict:
         """Process all uncommitted buckets, chunk_buckets at a time.
 
         ``transform`` maps a pages slice → result slice (must keep ``url``
         and a boolean ``keep``).  ``fail_after_chunks`` injects a crash for
         the resume test.  Returns a small run summary.
+
+        ``metrics_fn`` maps the chunk's *written* slice (re-read from the
+        data dir, so it costs one pruned scan, not a pipeline re-run) to
+        named filter-metrics tables; each MUST carry the ``bucket`` column
+        (use ``plans.pipeline.filter_metrics(df, group_cols=("bucket",))``).
+        They are appended under ``_metrics/<name>/`` stamped with the
+        snapshot id before the commit — exactly the lineage protocol, so a
+        crashed chunk's orphan metrics rows are superseded on resume and
+        :meth:`metrics` reads each bucket's latest rows only.
         """
         spark = pages.sparkSession
         bucketed = pages.withColumn(
@@ -125,6 +136,20 @@ class PartitionedSink:
                 .withColumn("snapshot", F.lit(self._current_snapshot() + 1))
             )
             lineage.write.mode("append").parquet(str(self.lineage_dir))
+            if metrics_fn is not None:
+                written = spark.read.parquet(str(self.data_dir)).filter(
+                    F.col("bucket").isin(chunk)
+                )
+                snap_col = F.lit(self._current_snapshot() + 1)
+                for name, mdf in metrics_fn(written).items():
+                    if "bucket" not in mdf.columns:
+                        raise ValueError(
+                            f"metrics table {name!r} must be keyed by 'bucket' "
+                            "(pass group_cols=('bucket',) to filter_metrics)"
+                        )
+                    mdf.withColumn("snapshot", snap_col).write.mode("append").parquet(
+                        str(self.metrics_dir / name)
+                    )
             self._commit(chunk)
             n_chunks_done += 1
             if fail_after_chunks is not None and n_chunks_done >= fail_after_chunks:
@@ -141,6 +166,24 @@ class PartitionedSink:
     def result(self, spark: SparkSession) -> DataFrame:
         committed = sorted(self.committed_buckets())
         return spark.read.parquet(str(self.data_dir)).filter(F.col("bucket").isin(committed))
+
+    def metrics(self, spark: SparkSession, name: str) -> DataFrame:
+        """A committed filter-metrics table: per bucket, only the rows from
+        that bucket's LATEST snapshot (orphans from a crashed chunk are
+        superseded, mirroring :meth:`lineage`), restricted to committed
+        buckets.  Run-level totals are a trivial re-aggregation on top."""
+        from pyspark.sql import Window
+
+        committed = sorted(self.committed_buckets())
+        df = spark.read.parquet(str(self.metrics_dir / name)).filter(
+            F.col("bucket").isin(committed)
+        )
+        w = Window.partitionBy("bucket")
+        return (
+            df.withColumn("_mx", F.max("snapshot").over(w))
+            .filter(F.col("snapshot") == F.col("_mx"))
+            .drop("_mx")
+        )
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         """Latest lineage row per bucket (a resumed run may append a bucket

@@ -68,3 +68,42 @@ def test_rerun_is_noop(spark, pages, tmp_path):
     summary = sink.run(pages, _transform(spark))
     assert summary["chunks_run"] == 0
     assert _table(sink, spark).equals(before)
+
+
+def test_metrics_checkpoint_and_resume(spark, pages, tmp_path):
+    """Filter-metrics tables are committed per chunk alongside lineage and
+    survive a crash+resume bit-identical to a clean run (north rule:
+    resumable checkpoints WITH metrics tables)."""
+    from data_quality_monitoring_spark.plans.pipeline import filter_metrics
+
+    def t(slice_df):
+        res = quality_filter(spark, slice_df)
+        return res.select("url", "keep", "verdict", "langid", "ppl_score", "bucket")
+
+    mfn = lambda written: filter_metrics(written, group_cols=("bucket",))
+
+    clean = PartitionedSink(str(tmp_path / "clean"), n_buckets=8, chunk_buckets=2)
+    clean.run(pages, t, metrics_fn=mfn)
+
+    crashy = PartitionedSink(str(tmp_path / "crashy"), n_buckets=8, chunk_buckets=2)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        crashy.run(pages, t, fail_after_chunks=2, metrics_fn=mfn)
+    crashy.run(pages, t, metrics_fn=mfn)  # resume
+
+    for name, keys in [
+        ("rule_fires", ["bucket", "method", "code"]),
+        ("lang_dist", ["bucket", "lang"]),
+        ("ppl_hist", ["bucket", "bin"]),
+    ]:
+        a = (
+            clean.metrics(spark, name).toPandas()
+            .sort_values(keys).reset_index(drop=True)
+        )
+        b = (
+            crashy.metrics(spark, name).toPandas()
+            .sort_values(keys).reset_index(drop=True)
+        )
+        assert a[keys + ["n"]].equals(b[keys + ["n"]]), name
+    # run-level rollup covers every doc exactly once
+    total = clean.metrics(spark, "rule_fires").groupBy().sum("n").collect()[0][0]
+    assert total == N_DOCS
