@@ -27,6 +27,7 @@ HEADLINE = [
     "pipeline_verdict",  # flagship: full quality filter (rules+pattern+ml+llm+scrub)
     "pipeline_rules_verdict",  # oracled flagship slice (validation+pattern)
     "rule_firsthit",
+    "extract_text",  # html→text, pure codegen chain
     "scrub_pii",
     "dedup_minhash",
     "dedup_jaccard",

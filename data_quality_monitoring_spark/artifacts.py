@@ -43,3 +43,40 @@ def get_langid_model() -> LangIdModel:
 @lru_cache(maxsize=1)
 def get_bigram_models() -> dict[str, BigramLM]:
     return {lang: train_bigram(training_texts(lang)) for lang in LANGS}
+
+
+def junk_texts(n: int = N_TRAIN_DOCS) -> list[str]:
+    """Seeded low-quality negatives in the corpus's documented junk modes
+    (gibberish tokens, digit walls, boilerplate loops) — disjoint seed
+    space from both datagen and the clean training corpus."""
+    import zlib
+
+    from .datagen import BOILERPLATE
+
+    base = zlib.crc32(b"train:junk")
+    out: list[str] = []
+    alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    for i in range(n):
+        rng = np.random.default_rng((base * 100_003 + i) % (2**63))
+        mode = i % 3
+        if mode == 0:
+            toks = [
+                "".join(rng.choice(alphabet, size=int(rng.integers(4, 12))))
+                for _ in range(int(rng.integers(60, 120)))
+            ]
+            out.append(" ".join(toks))
+        elif mode == 1:
+            out.append(" ".join(str(int(rng.integers(0, 10**9))) for _ in range(50)))
+        else:
+            out.append(BOILERPLATE + " " + BOILERPLATE)
+    return out
+
+
+@lru_cache(maxsize=1)
+def get_quality_model():
+    """fastText-style binary quality classifier (operators/quality_model):
+    positives = the clean multi-language corpus, negatives = junk_texts."""
+    from .operators.quality_model import train_quality_classifier
+
+    good = [t for lang in LANGS for t in training_texts(lang, N_TRAIN_DOCS // 3)]
+    return train_quality_classifier(good, junk_texts())

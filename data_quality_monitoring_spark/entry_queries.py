@@ -1601,6 +1601,18 @@ def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.round(score, 6).alias("ppl"))
 
 
+def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style learned quality posterior P(good|text) per document
+    (rows-only: model scorer, like langid_scores/perplexity_scores;
+    pinned by golden + separation tests in tests/test_models.py)."""
+    from .artifacts import get_quality_model
+    from .operators.quality_model import quality_prob
+
+    d = _read(spark, sf_dir, "documents")
+    score = quality_prob(spark, get_quality_model(), F.col("text"))
+    return d.select("doc_id", F.round(score, 6).alias("p_good"))
+
+
 def q_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full quality-filter pipeline over documents mapped to the pages shape
     (rows-only: verdict uses the model scorers)."""
@@ -1759,6 +1771,7 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "revenue_by_nation": q_revenue_by_nation,
     "langid_scores": q_langid_scores,
+    "quality_model_scores": q_quality_model_scores,
     "perplexity_scores": q_perplexity_scores,
     "pipeline_verdict": q_pipeline_verdict,
 }
@@ -1807,6 +1820,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_ivf": SQL_ANN_IVF,
     "multifield_cells": SQL_MULTIFIELD_CELLS,
-    # langid_scores / perplexity_scores / pipeline_verdict: model scorers,
-    # not SQL-expressible → rows-only checks by design.
+    # langid_scores / perplexity_scores / quality_model_scores /
+    # pipeline_verdict: model scorers, not SQL-expressible → rows-only
+    # checks by design (each golden-pinned in tests/test_models.py).
 }
