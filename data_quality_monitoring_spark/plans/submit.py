@@ -79,18 +79,23 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
             "url", "warc_ts", "lang", "keep", "verdict", "ppl_score", "text_scrubbed", "bucket"
         )
 
-    summary = sink.run(pages, transform)
+    def metrics_fn(written):
+        # bucket-keyed so each chunk's metrics commit with its snapshot —
+        # a resumed run appends exactly the missing buckets' rows and a
+        # crashed chunk's orphans are superseded (sink.metrics reader)
+        return {
+            "rule_fire_counts": rule_fire_counts(written, group_cols=("bucket",)),
+            "lang_distribution": written.groupBy("bucket", "lang").agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            ),
+            "ppl_histogram": histogram(
+                written, "ppl_score", 0.0, 15.0, 30,
+                group_cols=("bucket",), bucket_col="bin",
+            ),
+        }
 
-    result = sink.result(spark)
-    metrics_root = f"{args.output}/_metrics"
-    rule_fire_counts(result).write.mode("overwrite").parquet(f"{metrics_root}/rule_fire_counts")
-    result.groupBy("lang").agg(
-        F.count("*").alias("n"), F.sum(F.col("keep").cast("long")).alias("n_kept")
-    ).write.mode("overwrite").parquet(f"{metrics_root}/lang_distribution")
-    histogram(result, "ppl_score", 0.0, 15.0, 30).write.mode("overwrite").parquet(
-        f"{metrics_root}/ppl_histogram"
-    )
-    return summary
+    return sink.run(pages, transform, metrics_fn=metrics_fn)
 
 
 def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
