@@ -25,10 +25,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-DEFAULT_THRESHOLDS = {"validation": 0.0, "pattern": 0.7, "ml": 0.7, "llm": 0.6}
+DEFAULT_THRESHOLDS = {
+    "validation": 0.0, "pattern": 0.7, "ml": 0.7, "llm": 0.6,
+    # opt-in learned quality tier (operators/quality_model); not in the
+    # default pipeline methods, so reference keep/drop parity is untouched
+    "quality_model": 0.5,
+}
 WEIGHTED_CUTOFF = 0.3  # reference comprehensive_detector.py:723
 
-METHOD_ORDER = ["validation", "pattern", "ml", "llm"]
+METHOD_ORDER = ["validation", "pattern", "ml", "llm", "quality_model"]
 
 VERDICT_TYPE = T.StructType(
     [

@@ -78,17 +78,26 @@ def quality_filter(
         cols["langid"] = L.langid_struct(spark, get_langid_model(), text, lang)
     if "llm" in methods:
         cols["ppl_score"] = P.perplexity_column(spark, get_bigram_models(), text, lang)
+    if "quality_model" in methods:  # opt-in learned quality tier
+        from ..artifacts import get_quality_model
+        from ..operators import quality_model as QM
+
+        cols["mlq_score"] = QM.quality_prob(spark, get_quality_model(), text)
     df = pages.withColumns(cols)
     stage2: dict[str, Column] = {}
     if "ml" in methods:
         stage2["f_ml"] = L.langid_finding(F.col("langid"), ml_threshold)
     if "llm" in methods:
         stage2["f_llm"] = P.perplexity_finding(F.col("ppl_score"), llm_threshold)
+    if "quality_model" in methods:
+        from ..operators import quality_model as QM
+
+        stage2["f_quality_model"] = QM.quality_model_finding(F.col("mlq_score"))
     if stage2:
         df = df.withColumns(stage2)
     findings: dict[str, Column] = {
         m: F.col(f"f_{m}")
-        for m in ("validation", "pattern", "ml", "llm")
+        for m in ("validation", "pattern", "ml", "llm", "quality_model")
         if m in methods
     }
     verdict = (

@@ -79,3 +79,54 @@ def test_weighted_custom_weights(spark):
     rows = [(None, _finding("P", 0.9), None, None)]
     out = _run(spark, rows, weighted_verdict, weights={"pattern": 0.1, "ml": 0.45, "llm": 0.45})
     assert out[0] is None  # 0.9*0.1 = 0.09 < 0.3
+
+
+def test_quality_model_as_fifth_method(spark):
+    """Opt-in learned quality tier: absent from the default method set (so
+    reference parity is untouched), and when enabled it catches junk that
+    the enabled heuristic slice passes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.plans.pipeline import quality_filter
+
+    import numpy as np
+
+    # junk the FULL default ruleset passes (every heuristic satisfied:
+    # length, stopwords, ratios, distinct words) but whose char n-grams
+    # are consonant salad — exactly the gap a learned tier closes
+    rng = np.random.default_rng(7)
+    alpha = np.array(list("zxqvwkjfbpg"))
+    stops = (
+        "the of and to in is was for that it with as his on be at by this "
+        "had not are but from or have an they which one you"
+    ).split()
+    gib = ["".join(rng.choice(alpha, size=int(rng.integers(4, 9)))) for _ in range(40)]
+    junk = " ".join(t for i in range(40) for t in (stops[i % len(stops)], gib[i]))
+
+    clean = (
+        "the of and to in is was for that it with as his on be "
+        "at by this had not are but from or have an they which "
+        "one you were her all she there would their we him been has"
+    )
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u_clean", "u_junk"],
+                "warc_ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+                "html": [None, None],
+                "text": [clean, junk],
+                "lang": ["en", "en"],
+            }
+        )
+    )
+    base = quality_filter(spark, pages, methods=["validation"])
+    rows = {r["url"]: r for r in base.select("url", "keep").collect()}
+    assert rows["u_junk"]["keep"]  # full default ruleset passes the junk
+
+    mlq = quality_filter(spark, pages, methods=["validation", "quality_model"])
+    rows = {r["url"]: r for r in mlq.select("url", "keep", "verdict").collect()}
+    assert rows["u_clean"]["keep"]
+    assert not rows["u_junk"]["keep"]
+    assert rows["u_junk"]["verdict"]["method"] == "quality_model"
+    assert rows["u_junk"]["verdict"]["code"] == "LOW_QUALITY_MODEL"
