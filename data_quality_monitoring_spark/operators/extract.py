@@ -87,8 +87,15 @@ _CLEANUP_STEPS: list[tuple[str, str]] = [
 
 def html_to_text(html: Column) -> Column:
     """Extract text from an ``html:binary`` column.  Pure Column chain —
-    whole-stage codegen, zero Python."""
-    s = F.decode(html, "UTF-8")
+    whole-stage codegen, zero Python.
+
+    Byte decoding: ANSI-mode ``decode(html, 'UTF-8')`` THROWS on the first
+    malformed byte — one bad page would kill a 100-TB job — so the binary
+    is cast through ``make_valid_utf8`` instead, which replaces invalid
+    sequences with U+FFFD exactly like the Python twin's
+    ``errors="replace"`` (verified on shared fixtures in
+    tests/test_extract.py)."""
+    s = F.make_valid_utf8(html.cast("string"))
     for pat, rep in _REGEX_STEPS:
         s = F.regexp_replace(s, pat, rep)
     for lit, rep in _ENTITY_STEPS:

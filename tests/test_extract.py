@@ -141,3 +141,21 @@ def test_wrap_extract_roundtrip_fuzz(spark, bodies):
         f"SELECT {html_to_text_sql('s')} AS t FROM t ORDER BY i"
     ).df()["t"].tolist()
     assert duck == want
+
+
+def test_malformed_bytes_do_not_kill_the_job(spark):
+    """ANSI decode() throws on the first bad byte — one malformed page
+    would kill a 100-TB job.  html_to_text goes through make_valid_utf8,
+    which must match Python's errors='replace' byte for byte."""
+    bad = [
+        b"<p>ok</p>",
+        b"<p>bad \xff\xfe bytes</p>",
+        b"\x80\x81<p>lead</p>",
+        b"caf\xc3\xa9 <p>\xe4\xb8\xad</p> tail\xc3",  # truncated sequence
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"i": range(len(bad)), "html": bad}))
+    got = (
+        df.select("i", html_to_text(F.col("html")).alias("t"))
+        .toPandas().sort_values("i")["t"].tolist()
+    )
+    assert got == [html_to_text_py(h) for h in bad]
