@@ -116,3 +116,46 @@ def test_stateful_host_stats(spark, tmp_path):
     joined = final.join(truth, lsuffix="_s", rsuffix="_t")
     assert (joined["n_pages_s"] == joined["n_pages_t"]).all()
     assert (joined["n_dropped_s"] == joined["n_dropped_t"]).all()
+
+
+def test_stream_extracts_from_raw_html(spark, tmp_path):
+    """Raw-payload ingestion: a stream whose pages carry only html (text
+    NULL) runs extract→filter and lands exactly where the batch compose
+    does — the upstream WARC path works under Structured Streaming."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.operators.extract import extract_pages
+    from data_quality_monitoring_spark.streaming.stream_filter import read_page_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    raw = generate_pages(spark, 256, partitions=4).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    raw.write.parquet(in_dir)
+
+    stream = quality_filter(spark, extract_pages(read_page_stream(spark, in_dir)))
+    q = (
+        stream.select("url", "keep", "text_scrubbed")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = (
+        spark.read.parquet(out_dir)
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    batch = (
+        quality_filter(spark, extract_pages(spark.read.parquet(in_dir)))
+        .select("url", "keep", "text_scrubbed")
+        .toPandas().sort_values("url").reset_index(drop=True)
+    )
+    assert len(streamed) == 256
+    assert streamed.equals(batch)
+    assert streamed.keep.sum() > 0 and (~streamed.keep).sum() > 0
