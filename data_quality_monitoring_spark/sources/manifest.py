@@ -171,7 +171,13 @@ class PartitionedSink:
         """A committed filter-metrics table: per bucket, only the rows from
         that bucket's LATEST snapshot (orphans from a crashed chunk are
         superseded, mirroring :meth:`lineage`), restricted to committed
-        buckets.  Run-level totals are a trivial re-aggregation on top."""
+        buckets.  Run-level totals are a trivial re-aggregation on top.
+
+        A crash in the window between the metrics append and the manifest
+        commit leaves orphan rows carrying the SAME snapshot id the resumed
+        chunk re-writes; they are byte-identical to the legitimate rows
+        (everything is deterministic and each table's key is unique within
+        a snapshot), so an exact-duplicate drop restores exactly-once."""
         from pyspark.sql import Window
 
         committed = sorted(self.committed_buckets())
@@ -183,6 +189,7 @@ class PartitionedSink:
             df.withColumn("_mx", F.max("snapshot").over(w))
             .filter(F.col("snapshot") == F.col("_mx"))
             .drop("_mx")
+            .dropDuplicates()
         )
 
     def lineage(self, spark: SparkSession) -> DataFrame:

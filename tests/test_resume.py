@@ -107,3 +107,38 @@ def test_metrics_checkpoint_and_resume(spark, pages, tmp_path):
     # run-level rollup covers every doc exactly once
     total = clean.metrics(spark, "rule_fires").groupBy().sum("n").collect()[0][0]
     assert total == N_DOCS
+
+
+def test_metrics_orphans_from_precommit_crash_do_not_double_count(spark, pages, tmp_path):
+    """A crash BETWEEN the metrics append and the manifest commit leaves
+    orphan rows at the snapshot id the resumed chunk re-writes; metrics()
+    must still be exactly-once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.plans.pipeline import filter_metrics
+
+    def t(slice_df):
+        res = quality_filter(spark, slice_df)
+        return res.select("url", "keep", "verdict", "bucket")
+
+    mfn = lambda written: {"rule_fires": filter_metrics(written, group_cols=("bucket",))["rule_fires"]}
+
+    sink = PartitionedSink(str(tmp_path / "s"), n_buckets=8, chunk_buckets=4)
+    sink.run(pages, t, metrics_fn=mfn)
+    table = sink.metrics(spark, "rule_fires").toPandas()
+
+    # simulate the pre-commit orphan: duplicate the whole metrics dir
+    # content (same snapshot ids, same rows) as a second append
+    src = sink.metrics_dir / "rule_fires"
+    dup = spark.read.parquet(str(src))
+    dup.write.mode("append").parquet(str(src))
+
+    again = sink.metrics(spark, "rule_fires").toPandas()
+    keys = ["bucket", "method", "code"]
+    assert (
+        again.sort_values(keys).reset_index(drop=True)[keys + ["n"]]
+        .equals(table.sort_values(keys).reset_index(drop=True)[keys + ["n"]])
+    )
+    assert again.n.sum() == N_DOCS
