@@ -52,6 +52,13 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--chunk-buckets", type=int, default=16)
     p.add_argument("--combine", choices=["priority", "weighted"], default="priority")
+    p.add_argument(
+        "--methods",
+        default=None,
+        help="comma-separated detector families (validation,pattern,ml,llm,"
+        "quality_model); default = the reference's four — quality_model is "
+        "the opt-in learned tier",
+    )
     p.add_argument("--regex-engine", choices=["auto", "native", "python"], default="auto")
     p.add_argument("--n-samples", type=int, default=8, help="multi-eval replicas")
     p.add_argument("--intensity", type=float, default=0.3, help="injection intensity")
@@ -71,29 +78,37 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     pages = spark.read.parquet(args.input)
     sink = PartitionedSink(args.output, args.n_buckets, args.chunk_buckets)
 
+    methods = args.methods.split(",") if getattr(args, "methods", None) else None
+
     def transform(slice_df):
         res = quality_filter(
-            spark, slice_df, combine=args.combine, regex_engine=args.regex_engine
+            spark, slice_df, combine=args.combine, regex_engine=args.regex_engine,
+            methods=methods,
         )
-        return res.select(
-            "url", "warc_ts", "lang", "keep", "verdict", "ppl_score", "text_scrubbed", "bucket"
-        )
+        keep_cols = [
+            c for c in ("url", "warc_ts", "lang", "keep", "verdict",
+                        "ppl_score", "mlq_score", "text_scrubbed", "bucket")
+            if c in res.columns
+        ]
+        return res.select(*keep_cols)
 
     def metrics_fn(written):
         # bucket-keyed so each chunk's metrics commit with its snapshot —
         # a resumed run appends exactly the missing buckets' rows and a
         # crashed chunk's orphans are superseded (sink.metrics reader)
-        return {
+        tables = {
             "rule_fire_counts": rule_fire_counts(written, group_cols=("bucket",)),
             "lang_distribution": written.groupBy("bucket", "lang").agg(
                 F.count("*").alias("n"),
                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
             ),
-            "ppl_histogram": histogram(
+        }
+        if "ppl_score" in written.columns:  # absent when --methods prunes llm
+            tables["ppl_histogram"] = histogram(
                 written, "ppl_score", 0.0, 15.0, 30,
                 group_cols=("bucket",), bucket_col="bin",
-            ),
-        }
+            )
+        return tables
 
     return sink.run(pages, transform, metrics_fn=metrics_fn)
 

@@ -143,3 +143,28 @@ def test_analyze_column_mode(spark, tmp_path):
     assert summary["column"] == "lang" and summary["n_top_values"] > 0
     on_disk = json.loads((tmp_path / "analyze_out" / "analyze_lang.json").read_text())
     assert on_disk["column"] == "lang" and on_disk["stats"]["n_rows"] == 120
+
+
+def test_cli_methods_flag(spark, tmp_path):
+    """--methods prunes detector families in the ship job and can enable
+    the opt-in quality_model tier; pruned columns vanish from the output
+    and the ppl histogram is skipped cleanly."""
+    from data_quality_monitoring_spark.datagen import generate_pages
+    from data_quality_monitoring_spark.plans.submit import main
+
+    in_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    generate_pages(spark, 128, partitions=4).write.parquet(in_dir)
+    main(
+        [
+            "--mode", "filter", "--input", in_dir, "--output", out_dir,
+            "--n-buckets", "8", "--chunk-buckets", "4",
+            "--methods", "validation,pattern,quality_model",
+        ]
+    )
+    out = spark.read.parquet(f"{out_dir}/data")
+    assert "mlq_score" in out.columns and "ppl_score" not in out.columns
+    assert out.count() == 128
+    import os
+    assert not os.path.exists(f"{out_dir}/_metrics/ppl_histogram")
+    assert spark.read.parquet(f"{out_dir}/_metrics/rule_fire_counts").count() > 0
