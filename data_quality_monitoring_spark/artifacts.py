@@ -78,5 +78,9 @@ def get_quality_model():
     positives = the clean multi-language corpus, negatives = junk_texts."""
     from .operators.quality_model import train_quality_classifier
 
-    good = [t for lang in LANGS for t in training_texts(lang, N_TRAIN_DOCS // 3)]
-    return train_quality_classifier(good, junk_texts())
+    # balanced classes: len(LANGS) × per-lang == len(junk_texts()), so the
+    # NB prior is exactly 50/50 and P(good)=0.5 means equal likelihoods
+    good = [
+        t for lang in LANGS for t in training_texts(lang, N_TRAIN_DOCS // len(LANGS))
+    ]
+    return train_quality_classifier(good, junk_texts(len(good)))

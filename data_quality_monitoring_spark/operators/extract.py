@@ -148,16 +148,19 @@ def extract_pages(pages, text_col: str = "text", html_col: str = "html"):
 
 
 def _sql_quote(s: str) -> str:
-    """Single-quote a string for SQL; newline → chr(10) concat (memory:
-    chr() concat is the safe way to put control chars in oracle SQL)."""
+    """Single-quote a string for SQL; newlines become chr(10) concat
+    terms (chr() concat is the safe way to put control chars in oracle
+    SQL).  Built term-by-term — no post-hoc string surgery that could
+    corrupt a literal legitimately containing quote/pipe sequences."""
     if s == "":
         return "''"
-    parts: list[str] = []
-    for chunk in s.split("\n"):
-        parts.append("'" + chunk.replace("'", "''") + "'")
-    joined = " || chr(10) || ".join(p for p in parts)
-    # drop empty-literal ends produced by leading/trailing newlines
-    return joined.replace("'' || ", "").replace(" || ''", "")
+    terms: list[str] = []
+    for i, chunk in enumerate(s.split("\n")):
+        if i:
+            terms.append("chr(10)")
+        if chunk:
+            terms.append("'" + chunk.replace("'", "''") + "'")
+    return " || ".join(terms)
 
 
 def html_to_text_sql(expr: str) -> str:

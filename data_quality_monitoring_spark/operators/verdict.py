@@ -85,9 +85,14 @@ def weighted_verdict(
 ) -> Column:
     """Validation always wins; else Σ confidence×weight ≥ cutoff → ANOMALY.
 
-    ``weights`` default to equal thirds over the anomaly methods, matching
-    the reference's no-performance-data fallback
-    (``generate_detection_weights.py:43-93``).
+    ``weights`` default to an equal split over the ENABLED anomaly
+    methods, matching the reference's no-performance-data fallback
+    (``generate_detection_weights.py:43-93``).  Consequence: enabling an
+    extra method (e.g. the opt-in ``quality_model``) re-splits the default
+    weights (1/3 → 1/4) and so *raises* the bar for any single detector
+    to clear the cutoff alone — pass explicit ``weights`` (e.g. from
+    ``metrics.weights_from_performance``) when adding a method must not
+    dilute the others.
     """
     anomaly_methods = [m for m in METHOD_ORDER if m != "validation" and m in findings]
     if weights is None:

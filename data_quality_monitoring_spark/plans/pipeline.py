@@ -49,6 +49,7 @@ def quality_filter(
     combine: str = "priority",
     ml_threshold: float = 0.7,
     llm_threshold: float = 6.0,
+    mlq_threshold: float = 0.5,
     thresholds: dict[str, float] | None = None,
     regex_engine: str = "auto",
     with_all_findings: bool = False,
@@ -92,7 +93,9 @@ def quality_filter(
     if "quality_model" in methods:
         from ..operators import quality_model as QM
 
-        stage2["f_quality_model"] = QM.quality_model_finding(F.col("mlq_score"))
+        stage2["f_quality_model"] = QM.quality_model_finding(
+            F.col("mlq_score"), mlq_threshold
+        )
     if stage2:
         df = df.withColumns(stage2)
     findings: dict[str, Column] = {
@@ -161,8 +164,10 @@ def filter_metrics(
     if "ppl_score" in cols:
         out["ppl_hist"] = histogram(
             result, "ppl_score", 0.0, 10.0, n_buckets=20, group_cols=group_cols,
-            # the histogram bin must not shadow the sink's commit bucket
-            bucket_col="bin" if "bucket" in group_cols else "bucket",
+            # always "bin": a mode-dependent name (it must not shadow the
+            # sink's commit bucket in grouped mode) would let a consumer
+            # silently aggregate over the wrong dimension
+            bucket_col="bin",
         )
     return out
 

@@ -74,11 +74,29 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+_KNOWN_METHODS = ("validation", "pattern", "ml", "llm", "quality_model")
+
+
+def _parse_methods(raw: str | None) -> list[str] | None:
+    """Strict parse: a typo must fail the job, not silently disable a
+    detector family and ship an unfiltered corpus."""
+    if not raw:
+        return None
+    methods = [m.strip() for m in raw.split(",") if m.strip()]
+    unknown = [m for m in methods if m not in _KNOWN_METHODS]
+    if unknown or not methods:
+        raise SystemExit(
+            f"--methods: unknown detector families {unknown} "
+            f"(choose from {', '.join(_KNOWN_METHODS)})"
+        )
+    return methods
+
+
 def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     pages = spark.read.parquet(args.input)
     sink = PartitionedSink(args.output, args.n_buckets, args.chunk_buckets)
 
-    methods = args.methods.split(",") if getattr(args, "methods", None) else None
+    methods = _parse_methods(getattr(args, "methods", None))
 
     def transform(slice_df):
         res = quality_filter(
@@ -95,7 +113,13 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     def metrics_fn(written):
         # bucket-keyed so each chunk's metrics commit with its snapshot —
         # a resumed run appends exactly the missing buckets' rows and a
-        # crashed chunk's orphans are superseded (sink.metrics reader)
+        # crashed chunk's orphans are superseded (sink.metrics reader).
+        # Deliberately NOT plans.pipeline.filter_metrics: the ship job's
+        # table names and histogram range (0-15/30 bins) are its output
+        # contract; the library function serves in-session analysis with
+        # its own defaults.  Keep semantics changes (PASS rows, bin math)
+        # in sync with metrics.rule_fire_counts/histogram — both paths
+        # call those operators, so the shared math lives there.
         tables = {
             "rule_fire_counts": rule_fire_counts(written, group_cols=("bucket",)),
             "lang_distribution": written.groupBy("bucket", "lang").agg(

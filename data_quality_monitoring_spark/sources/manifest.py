@@ -124,23 +124,26 @@ class PartitionedSink:
                 .partitionBy("bucket")
                 .parquet(str(self.data_dir))
             )
-            lineage = (
+            # ONE scan of the chunk's written buckets feeds lineage and
+            # every metrics table (persist → N tiny aggregation jobs over
+            # the cached slice, not N+1 rescans per chunk)
+            written = (
                 spark.read.parquet(str(self.data_dir))
                 .filter(F.col("bucket").isin(chunk))
-                .groupBy("bucket")
+                .persist()
+            )
+            snap_col = F.lit(self._current_snapshot() + 1)
+            lineage = (
+                written.groupBy("bucket")
                 .agg(
                     F.count("*").alias("n_docs"),
                     F.sum(F.col("keep").cast("long")).alias("n_kept"),
                     F.expr("bit_xor(xxhash64(url))").alias("checksum"),
                 )
-                .withColumn("snapshot", F.lit(self._current_snapshot() + 1))
+                .withColumn("snapshot", snap_col)
             )
             lineage.write.mode("append").parquet(str(self.lineage_dir))
             if metrics_fn is not None:
-                written = spark.read.parquet(str(self.data_dir)).filter(
-                    F.col("bucket").isin(chunk)
-                )
-                snap_col = F.lit(self._current_snapshot() + 1)
                 for name, mdf in metrics_fn(written).items():
                     if "bucket" not in mdf.columns:
                         raise ValueError(
@@ -150,6 +153,7 @@ class PartitionedSink:
                     mdf.withColumn("snapshot", snap_col).write.mode("append").parquet(
                         str(self.metrics_dir / name)
                     )
+            written.unpersist()
             self._commit(chunk)
             n_chunks_done += 1
             if fail_after_chunks is not None and n_chunks_done >= fail_after_chunks:

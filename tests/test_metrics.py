@@ -96,5 +96,5 @@ def test_filter_metrics_tables(spark):
     scored = res.filter(F.col("ppl_score").isNotNull()).count()
     hist = m["ppl_hist"].toPandas()
     assert hist.n.sum() == scored
-    assert (hist.bucket.between(0, 21)).all()
+    assert (hist.bin.between(0, 21)).all()  # bin column name is mode-invariant
     res.unpersist()
