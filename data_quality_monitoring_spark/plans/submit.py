@@ -53,6 +53,12 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--chunk-buckets", type=int, default=16)
     p.add_argument("--combine", choices=["priority", "weighted"], default="priority")
     p.add_argument(
+        "--extract-html",
+        action="store_true",
+        help="fill missing text from the html payload before filtering "
+        "(raw-WARC ingestion; operators/extract.html_to_text)",
+    )
+    p.add_argument(
         "--methods",
         default=None,
         help="comma-separated detector families (validation,pattern,ml,llm,"
@@ -99,6 +105,10 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     methods = _parse_methods(getattr(args, "methods", None))
 
     def transform(slice_df):
+        if getattr(args, "extract_html", False):
+            from ..operators.extract import extract_pages
+
+            slice_df = extract_pages(slice_df)
         res = quality_filter(
             spark, slice_df, combine=args.combine, regex_engine=args.regex_engine,
             methods=methods,

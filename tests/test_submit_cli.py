@@ -168,3 +168,33 @@ def test_cli_methods_flag(spark, tmp_path):
     import os
     assert not os.path.exists(f"{out_dir}/_metrics/ppl_histogram")
     assert spark.read.parquet(f"{out_dir}/_metrics/rule_fire_counts").count() > 0
+
+
+def test_cli_extract_html_flag(spark, tmp_path):
+    """--extract-html: a raw-payload table (text NULL, html only) filters
+    to the same keep/drop verdicts the pre-extracted table gets."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.datagen import generate_pages
+    from data_quality_monitoring_spark.plans.submit import main
+
+    raw_dir, pre_dir = str(tmp_path / "raw"), str(tmp_path / "pre")
+    out_raw, out_pre = str(tmp_path / "o1"), str(tmp_path / "o2")
+    pages = generate_pages(spark, 128, partitions=4)
+    pages.withColumn("text", F.lit(None).cast("string")).write.parquet(raw_dir)
+    # the pre-extracted twin must be what extraction PRODUCES (the ws-padded
+    # bucket normalizes), so build it through the same operator
+    from data_quality_monitoring_spark.operators.extract import html_to_text
+
+    pages.withColumn("text", html_to_text(F.col("html"))).write.parquet(pre_dir)
+
+    common = ["--n-buckets", "8", "--chunk-buckets", "4"]
+    main(["--mode", "filter", "--input", raw_dir, "--output", out_raw,
+          "--extract-html", *common])
+    main(["--mode", "filter", "--input", pre_dir, "--output", out_pre, *common])
+
+    a = spark.read.parquet(f"{out_raw}/data").select("url", "keep", "text_scrubbed") \
+        .toPandas().sort_values("url").reset_index(drop=True)
+    b = spark.read.parquet(f"{out_pre}/data").select("url", "keep", "text_scrubbed") \
+        .toPandas().sort_values("url").reset_index(drop=True)
+    assert len(a) == 128 and a.equals(b)
