@@ -399,8 +399,16 @@ def _jaccard_pairs(d: DataFrame) -> DataFrame:
     from .operators.dedup import cap_shingle_df
 
     # persist the exploded shingles: df-filter, sizes and the self-join all
-    # consume it, and recomputing the explode dominates this query's cost
-    raw = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")).persist()
+    # consume it, and recomputing the explode dominates this query's cost.
+    # The self-join keys on xxhash64(shingle), not the string — an 8-byte
+    # shuffle key instead of ~25 bytes; pair counts are hash-collision-
+    # identical (2⁻⁶⁴ per pair) so the DuckDB oracle, which joins on the
+    # string, computes the same answer.
+    raw = (
+        d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("_s"))
+        .select("doc_id", F.xxhash64("_s").alias("shingle"))
+        .persist()
+    )
     sh = cap_shingle_df(raw, JACCARD_DF_CAP)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
