@@ -409,14 +409,18 @@ def drop_duplicate_lines(
     whose every line was boilerplate keep an empty string)."""
     lines = docs.select(
         F.col(key), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line")
-    )
+    ).withColumn("_lh", F.xxhash64("line"))
+    # df-count and anti-join key on the 8-byte line hash so the wide
+    # shuffle never ships line strings (only the rebuild groupBy does,
+    # and that one needs them); a 2⁻⁶⁴ hash collision could at worst drop
+    # one extra cold line as boilerplate
     hot = (
-        lines.groupBy("line")
+        lines.groupBy("_lh")
         .agg(F.countDistinct(key).alias("_df"))
         .filter(F.col("_df") > max_line_df)
-        .select("line")
+        .select("_lh")
     )
-    kept = lines.join(hot, "line", "left_anti")
+    kept = lines.join(hot, "_lh", "left_anti")
     rebuilt = kept.groupBy(key).agg(
         F.concat_ws(
             sep,
