@@ -1032,6 +1032,54 @@ SQL_FINGERPRINT = (
 )
 
 
+PACK_BUDGET, PACK_SHARDS = 512, 8
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset sequence packing (operators/packing.py): documents →
+    token-budget packs within (lang, md5-shard) windows; per-pack rollup
+    with membership boundaries.  Oracle recomputes the identical window
+    arithmetic in SQL — assignment errors shift totals or boundaries."""
+    from .operators.packing import pack_documents
+
+    d = _read(spark, sf_dir, "documents")
+    packed = pack_documents(
+        d, "doc_id", PACK_BUDGET, group_cols=("lang",), n_shards=PACK_SHARDS
+    )
+    return packed.groupBy("lang", "shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _sequence_packing_sql() -> str:
+    from .operators.sampling import sample_bucket_sql
+
+    shard = f"({sample_bucket_sql('doc_id')} % {PACK_SHARDS})"
+    words = _WORDS_SQL.format(c="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, len({words}) AS n_tokens, {shard} AS shard
+  FROM documents WHERE len({words}) > 0
+), p AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start
+  FROM t
+)
+SELECT lang, shard, floor(start / {PACK_BUDGET})::BIGINT AS pack_id,
+       count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM p GROUP BY lang, shard, pack_id
+"""
+
+
+SQL_SEQUENCE_PACKING = _sequence_packing_sql()
+
+
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→text extraction, the north rule's byte-identity invariant.
 
@@ -1756,6 +1804,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
     "sample_stratified": q_sample_stratified,
+    "sequence_packing": q_sequence_packing,
     "skew_salted_stats": q_skew_salted_stats,
     "pipeline_rules_verdict": q_pipeline_rules_verdict,
     "lang_heuristic": q_lang_heuristic,
@@ -1806,6 +1855,7 @@ ORACLES = {
     "token_stats": SQL_TOKEN_STATS,
     "repetition_stats": SQL_REPETITION_STATS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
     "skew_salted_stats": SQL_SKEW_SALTED_STATS,
     "pipeline_rules_verdict": SQL_PIPELINE_RULES_VERDICT,
     "lang_heuristic": SQL_LANG_HEURISTIC,

@@ -1,0 +1,70 @@
+"""Sequence packing: assign documents to fixed token-budget packs.
+
+The standard pre-training batching step (T5/GPT data pipelines): concatenate
+documents until a token budget (e.g. 2048) fills, start the next pack.  The
+exact greedy recurrence ("start a new pack when adding would overflow") is
+sequential and does not distribute; the standard scalable form is OFFSET
+packing — order documents deterministically, take the running token sum, and
+assign each document to ``floor(start_offset / budget)``.  A pack's token
+total can then exceed the budget by at most one document's length (callers
+cap/split over-long docs upstream), and the whole thing is a window
+expression: embarrassingly parallel across (group, shard) partitions and
+bit-reproducible anywhere.
+
+Scale design: the window partitions on ``(group_cols…, shard)`` where shard
+is the md5-derived bucket of the key (``sampling.sample_bucket`` — portable
+to the DuckDB oracle, unlike xxhash64).  n_shards bounds every sort to
+corpus/n_shards rows, so at 10¹² documents packing is n_shards independent
+sorted windows per group, each a single map-side-sortable partition — no
+global sort anywhere.
+
+Determinism: ordering inside a shard is by the row key, the shard is a pure
+function of the key, and token counts are pure column functions — the pack
+assignment is invariant to input partitioning and retries (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import sample_bucket
+from .textstats import token_count
+
+
+def pack_documents(
+    df: DataFrame,
+    key: str,
+    budget: int,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = (),
+    n_shards: int = 16,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Add ``shard``, ``n_tokens``, ``pack_id`` (and pass through
+    ``group_cols``) to every row with a non-empty token count.
+
+    ``tokens_col`` reuses a precomputed count column; otherwise whitespace
+    ``token_count(text_col)`` is used.  ``pack_id`` numbers packs within
+    each (group, shard) partition from 0.
+    """
+    n_tok = F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    out = df.withColumn("n_tokens", n_tok).filter(
+        F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0)
+    )
+    out = out.withColumn("shard", sample_bucket(F.col(key)) % F.lit(n_shards))
+    w = (
+        Window.partitionBy(*group_cols, "shard")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return out.withColumn("pack_id", F.floor(start / F.lit(budget)))
+
+
+def pack_stats(packed: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-pack rollup: documents and token totals (the audit table)."""
+    return packed.groupBy(*group_cols, "shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
