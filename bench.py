@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_clusters",
     "line_dedup",
     "decontamination",
+    "sequence_packing",
     "embedding_near_dup",
     "repetition_stats",
     "normalize_unicode",
