@@ -43,6 +43,8 @@ _WORDS_SQL = (
     "else regexp_split_to_array(trim({c}), '\\s+') end"
 )
 
+_WS_SQL = "[ \\t\\n\\r\\f\\x0B]"  # backslashes literal in the SQL string → RE2 escapes
+
 
 # ---------------------------------------------------------------- rule engine
 
@@ -1058,11 +1060,18 @@ def _sequence_packing_sql() -> str:
     from .operators.sampling import sample_bucket_sql
 
     shard = f"({sample_bucket_sql('doc_id')} % {PACK_SHARDS})"
-    words = _WORDS_SQL.format(c="text")
+    # mirror textstats.words EXACTLY: strip the full ASCII whitespace
+    # CLASS (not trim()'s spaces-only) then split on the class — trim()
+    # would miscount texts with leading/trailing \t or \n
+    stripped = f"regexp_replace(text, '^{_WS_SQL}+|{_WS_SQL}+$', '', 'g')"
+    n_tok = (
+        f"CASE WHEN {stripped} = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array({stripped}, '{_WS_SQL}+')) END"
+    )
     return f"""
 WITH t AS (
-  SELECT doc_id, lang, len({words}) AS n_tokens, {shard} AS shard
-  FROM documents WHERE len({words}) > 0
+  SELECT doc_id, lang, {n_tok} AS n_tokens, {shard} AS shard
+  FROM documents WHERE {n_tok} > 0
 ), p AS (
   SELECT lang, shard, doc_id, n_tokens,
          sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
@@ -1716,7 +1725,7 @@ def q_pipeline_rules_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WS_SQL = "[ \\t\\n\\r\\f\\x0B]"  # backslashes literal in the SQL string → RE2 escapes
+# (_WS_SQL is defined near the top of the module, with _WORDS_SQL)
 
 SQL_PIPELINE_RULES_VERDICT = f"""
 WITH base AS (

@@ -67,11 +67,13 @@ def minhash_signatures(
             F.min(F.xxhash64(F.lit(b), F.col("shingle"))).alias(f"h{b}")
             for b in range(n_hashes)
         ]
-    else:
+    elif hash_fn == "md5":
         hashes = [
             F.min(F.md5(F.concat(F.lit(str(b)), F.col("shingle")))).alias(f"h{b}")
             for b in range(n_hashes)
         ]
+    else:  # a typo must not silently pick the 4.3×-slower chain
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     return sh.groupBy(key).agg(*hashes)
 
 

@@ -6,7 +6,10 @@ from pyspark.sql import functions as F
 from data_quality_monitoring_spark.datagen import generate_pages
 from data_quality_monitoring_spark.operators.packing import pack_documents, pack_stats
 
-BUDGET = 256
+# larger than any datagen doc's token count (~266 max): the contiguity
+# assertion below is only a theorem of offset packing when no document
+# straddles a whole budget window
+BUDGET = 512
 
 
 def _packed(spark, partitions):
@@ -55,3 +58,49 @@ def test_packing_precomputed_tokens_column(spark):
     )
     # order by key: a(100)@0, b(200)@100, c(300)@300 → packs 0,0,1
     assert list(out.loc[["a", "b", "c"]]) == [0, 0, 1]
+
+
+def test_packing_oracle_parity_on_boundary_whitespace(spark, tmp_path):
+    """The tokenizer-parity case the driver corpus never exercises: texts
+    with leading/trailing \\t/\\n must count identically in the engine
+    (textstats.words, _WS-class strip) and the DuckDB oracle SQL."""
+    import duckdb
+    import pandas as pd
+
+    from data_quality_monitoring_spark.entry_queries import (
+        SQL_SEQUENCE_PACKING,
+        q_sequence_packing,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "lang": ["en"] * 8,
+            "text": [
+                "\tfoo bar", "baz\n", "  \t  ", "\x0b", "a\fb", "plain words here",
+                None, "trail  \n ",
+            ],
+            "source": ["s"] * 8,
+            "n_chars": [0] * 8,
+        }
+    )
+    (tmp_path / "d").mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "d" / "documents.parquet"))
+
+    got = (
+        q_sequence_packing(spark, str(tmp_path / "d"))
+        .toPandas().sort_values(["lang", "shard", "pack_id"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a parquet DIRECTORY; glob its part files for DuckDB
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/d/documents.parquet/*.parquet')"
+    )
+    want = (
+        con.execute(SQL_SEQUENCE_PACKING).df()
+        .sort_values(["lang", "shard", "pack_id"]).reset_index(drop=True)
+    )
+    assert got.n_docs.sum() == 5  # '  \t  ', '\x0b' and None are token-free
+    assert list(got.total_tokens) == list(want.total_tokens)
+    assert list(got.n_docs) == list(want.n_docs)
+    assert list(got.min_doc) == list(want.min_doc)
