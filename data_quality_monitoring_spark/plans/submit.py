@@ -156,6 +156,10 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
     from .corpus import build_corpus
 
     pages = spark.read.parquet(args.input)
+    if getattr(args, "extract_html", False):  # raw-WARC ingestion
+        from ..operators.extract import extract_pages
+
+        pages = extract_pages(pages)
     rates = json.loads(args.sample_rates) if args.sample_rates else None
     corpus, stats = build_corpus(
         spark, pages, jaccard_threshold=args.jaccard_threshold,
