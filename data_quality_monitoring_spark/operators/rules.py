@@ -25,7 +25,8 @@ Gopher/C4-style), all as native Column expressions:
 ``min_words, max_words, max_digit_ratio, max_symbol_ratio,
 min_alpha_ratio, min_distinct_word_ratio, max_word_length,
 min_mean_word_length, max_mean_word_length, min_stopword_count,
-keyword_blocklist, max_line_dup_ratio``.
+keyword_blocklist, max_line_dup_ratio, max_bullet_ratio,
+max_ellipsis_line_ratio``.
 """
 
 from __future__ import annotations
@@ -65,12 +66,17 @@ _WORDSTAT_TYPES = {
     "max_mean_word_length",
     "min_stopword_count",
     "max_line_dup_ratio",
+    "max_bullet_ratio",
+    "max_ellipsis_line_ratio",
 }
 
 # char-class ratio rules: native regexp_replace costs one full text pass
 # per rule on the JVM side; in the batch UDF they are one vectorised C
 # str.count over the already-hot string
 _CHARSTAT_TYPES = {"max_digit_ratio", "max_symbol_ratio", "min_alpha_ratio"}
+
+# bullet markers for the Gopher layout heuristic (max_bullet_ratio)
+BULLET_CHARS = ["•", "-", "*", "·", "●", "▪"]
 
 _WS = r"[ \t\n\r\f\x0B]"  # NOT \v: Java \v is a CLASS (incl. \x85); \x0B is the same char in every engine
 
@@ -253,6 +259,22 @@ def _native_predicate(col: Column, rule: dict) -> Column:
         return (n_lines > 1) & (
             (n_lines - F.size(F.array_distinct(lines))) / n_lines > float(rule["max_ratio"])
         )
+    if rt in ("max_bullet_ratio", "max_ellipsis_line_ratio"):
+        # Gopher-style layout heuristics: fraction of non-empty lines that
+        # start with a bullet marker / end with an ellipsis
+        lines = F.filter(
+            F.transform(F.split(col, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
+        )
+        n_lines = F.size(lines)
+        if rt == "max_bullet_ratio":
+            hit = F.filter(
+                lines, lambda l: F.substring(l, 1, 1).isin(*BULLET_CHARS)
+            )
+        else:
+            hit = F.filter(
+                lines, lambda l: l.endswith("...") | l.endswith("…")
+            )
+        return (n_lines > 0) & (F.size(hit) / n_lines > float(rule["max_ratio"]))
     raise ValueError(f"unknown rule type: {rt}")
 
 
@@ -379,6 +401,23 @@ def _batch_bitmask_udf(rules: list[dict], include: set[str]):
                     return len(lines) > 1 and (len(lines) - len(set(lines))) / len(lines) > r
 
                 fire = s.map(line_dup)
+            elif rt in ("max_bullet_ratio", "max_ellipsis_line_ratio"):
+                r = float(rule["max_ratio"])
+                bullet = rt == "max_bullet_ratio"
+
+                def layout(t):
+                    if not isinstance(t, str):
+                        return False
+                    lines = [l.strip() for l in t.split("\n") if l.strip()]
+                    if not lines:
+                        return False
+                    if bullet:
+                        n = sum(1 for l in lines if l[0] in BULLET_CHARS)
+                    else:
+                        n = sum(1 for l in lines if l.endswith(("...", "…")))
+                    return n / len(lines) > r
+
+                fire = s.map(layout)
             else:
                 fire = _wordstat_fire(rule, words)
             shard, bit = positions[j]

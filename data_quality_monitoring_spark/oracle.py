@@ -141,6 +141,16 @@ def rule_first_hit(value, rules: list[dict]) -> dict | None:
             fired = len(lines) > 1 and (len(lines) - len(set(lines))) / len(lines) > float(
                 rule["max_ratio"]
             )
+        elif rt in ("max_bullet_ratio", "max_ellipsis_line_ratio"):
+            # independent copy of the marker set (this labeler shares no
+            # code with the engine by design — see module docstring)
+            BULLET_CHARS = ["•", "-", "*", "·", "●", "▪"]
+            lines = [l.strip() for l in v.split("\n") if l.strip()]
+            if rt == "max_bullet_ratio":
+                n_hit = sum(1 for l in lines if l[0] in BULLET_CHARS)
+            else:
+                n_hit = sum(1 for l in lines if l.endswith(("...", "…")))
+            fired = bool(lines) and n_hit / len(lines) > float(rule["max_ratio"])
         else:
             raise ValueError(f"unknown rule type {rt}")
         if fired:

@@ -27,6 +27,8 @@ FUZZ_RULES = [
     {"type": "max_digit_ratio", "max_ratio": 0.4, "error_code": "DIG"},
     {"type": "max_symbol_ratio", "max_ratio": 0.4, "error_code": "SYM"},
     {"type": "min_distinct_word_ratio", "min_ratio": 0.4, "error_code": "REP"},
+    {"type": "max_bullet_ratio", "max_ratio": 0.5, "error_code": "BULLET"},
+    {"type": "max_ellipsis_line_ratio", "max_ratio": 0.3, "error_code": "ELLIP"},
     {"type": "parenthesis_check", "error_code": "PAREN"},
     {"type": "contradiction_check", "contradiction_pairs": [["hot", "cold"]], "error_code": "CONTRA"},
 ]
@@ -36,6 +38,7 @@ texts = st.lists(
         st.none(),
         st.text(max_size=120),
         st.text(alphabet="abc 0123()!%hotcold\t\n", max_size=120),
+        st.text(alphabet="a .•-*\n…", max_size=120),  # bullet/ellipsis layouts
     ),
     min_size=1,
     max_size=60,

@@ -135,6 +135,23 @@ CASES: list[tuple[list[dict], list[tuple[str | None, str | None]]]] = [
         [{"type": "min_mean_word_length", "min_mean": 3, "error_code": "MWL"}],
         [("a b c", "MWL"), ("abcd efgh", None)],
     ),
+    (
+        [{"type": "max_bullet_ratio", "max_ratio": 0.5, "error_code": "BULLET"}],
+        [
+            ("• one\n• two\nthree", "BULLET"),  # 2/3 bulleted
+            ("- a\ntext line\nmore text", None),  # 1/3
+            ("• only", "BULLET"),
+            ("plain\n\n  \n", None),  # blank lines ignored
+        ],
+    ),
+    (
+        [{"type": "max_ellipsis_line_ratio", "max_ratio": 0.3, "error_code": "ELLIP"}],
+        [
+            ("read more...\nclick here…\nfull text", "ELLIP"),  # 2/3
+            ("one...\ntwo\nthree\nfour", None),  # 1/4
+            ("no ellipsis at all", None),
+        ],
+    ),
 ]
 
 
