@@ -26,7 +26,7 @@ Gopher/C4-style), all as native Column expressions:
 min_alpha_ratio, min_distinct_word_ratio, max_word_length,
 min_mean_word_length, max_mean_word_length, min_stopword_count,
 keyword_blocklist, max_line_dup_ratio, max_bullet_ratio,
-max_ellipsis_line_ratio``.
+max_ellipsis_line_ratio, min_alpha_word_ratio``.
 """
 
 from __future__ import annotations
@@ -61,6 +61,7 @@ _WORDSTAT_TYPES = {
     "min_words",
     "max_words",
     "min_distinct_word_ratio",
+    "min_alpha_word_ratio",
     "max_word_length",
     "min_mean_word_length",
     "max_mean_word_length",
@@ -238,6 +239,10 @@ def _native_predicate(col: Column, rule: dict) -> Column:
             F.size(F.array_distinct(F.transform(words, F.lower))) / n_words
             < float(rule["min_ratio"])
         )
+    if rt == "min_alpha_word_ratio":
+        # Gopher: fraction of words containing >=1 ASCII letter
+        alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        return (n_words > 0) & (alpha / n_words < float(rule["min_ratio"]))
     if rt == "max_word_length":
         return (n_words > 0) & (
             F.array_max(F.transform(words, F.length)) > int(rule["max_word_length"])
@@ -320,6 +325,12 @@ def _wordstat_fire(rule: dict, words: pd.Series) -> pd.Series:
         r = float(rule["min_ratio"])
         return (n > 0) & words.map(
             lambda ws: bool(ws) and len({w.lower() for w in ws}) / len(ws) < r
+        )
+    if rt == "min_alpha_word_ratio":
+        r = float(rule["min_ratio"])
+        is_alpha = lambda w: any("a" <= c <= "z" or "A" <= c <= "Z" for c in w)
+        return words.map(
+            lambda ws: bool(ws) and sum(1 for w in ws if is_alpha(w)) / len(ws) < r
         )
     if rt == "max_word_length":
         m = int(rule["max_word_length"])

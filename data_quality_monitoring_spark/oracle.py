@@ -124,6 +124,12 @@ def rule_first_hit(value, rules: list[dict]) -> dict | None:
         elif rt == "min_distinct_word_ratio":
             ws = v.split()
             fired = bool(ws) and len({w.lower() for w in ws}) / len(ws) < float(rule["min_ratio"])
+        elif rt == "min_alpha_word_ratio":
+            ws = v.split()
+            n_alpha = sum(
+                1 for w in ws if any("a" <= c <= "z" or "A" <= c <= "Z" for c in w)
+            )
+            fired = bool(ws) and n_alpha / len(ws) < float(rule["min_ratio"])
         elif rt == "max_word_length":
             ws = v.split()
             fired = bool(ws) and max(len(w) for w in ws) > int(rule["max_word_length"])

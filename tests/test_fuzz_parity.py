@@ -27,6 +27,7 @@ FUZZ_RULES = [
     {"type": "max_digit_ratio", "max_ratio": 0.4, "error_code": "DIG"},
     {"type": "max_symbol_ratio", "max_ratio": 0.4, "error_code": "SYM"},
     {"type": "min_distinct_word_ratio", "min_ratio": 0.4, "error_code": "REP"},
+    {"type": "min_alpha_word_ratio", "min_ratio": 0.6, "error_code": "AWR"},
     {"type": "max_bullet_ratio", "max_ratio": 0.5, "error_code": "BULLET"},
     {"type": "max_ellipsis_line_ratio", "max_ratio": 0.3, "error_code": "ELLIP"},
     {"type": "parenthesis_check", "error_code": "PAREN"},

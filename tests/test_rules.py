@@ -136,6 +136,15 @@ CASES: list[tuple[list[dict], list[tuple[str | None, str | None]]]] = [
         [("a b c", "MWL"), ("abcd efgh", None)],
     ),
     (
+        [{"type": "min_alpha_word_ratio", "min_ratio": 0.8, "error_code": "AWR"}],
+        [
+            ("123 456 789 word", "AWR"),  # 1/4 alpha words
+            ("one two three 44", "AWR"),  # 3/4 = 0.75 < 0.8
+            ("all alpha words here", None),
+            ("a1 b2 c3", None),  # every word contains a letter
+        ],
+    ),
+    (
         [{"type": "max_bullet_ratio", "max_ratio": 0.5, "error_code": "BULLET"}],
         [
             ("• one\n• two\nthree", "BULLET"),  # 2/3 bulleted
