@@ -159,3 +159,27 @@ def test_malformed_bytes_do_not_kill_the_job(spark):
         .toPandas().sort_values("i")["t"].tolist()
     )
     assert got == [html_to_text_py(h) for h in bad]
+
+
+# raw tag soup — NOT wrap_html output: unclosed tags, stray brackets,
+# half-entities, mixed case, nested script-ish fragments
+_soup = st.text(alphabet="<>/!-&;#abcdePSCRIPTstyle \"'\n\t.…", max_size=100)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_soup, min_size=1, max_size=40))
+def test_raw_fragment_parity_fuzz(spark, frags):
+    html = [f.encode("utf-8") for f in frags]
+    want = [html_to_text_py(h) for h in html]
+    df = spark.createDataFrame(pd.DataFrame({"i": range(len(html)), "html": html}))
+    got = (
+        df.select("i", html_to_text(F.col("html")).alias("t"))
+        .toPandas().sort_values("i")["t"].tolist()
+    )
+    assert got == want
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(frags)), "s": frags}))
+    duck = con.execute(
+        f"SELECT {html_to_text_sql('s')} AS t FROM t ORDER BY i"
+    ).df()["t"].tolist()
+    assert duck == want
