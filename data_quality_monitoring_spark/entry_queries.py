@@ -1034,6 +1034,83 @@ SQL_FINGERPRINT = (
 )
 
 
+def q_weighted_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's weighted classification (generate_detection_weights
+    + comprehensive_detector.py:723 Σ confidence×weight ≥ 0.3) as an
+    ORACLED row: two deterministic SQL-expressible pseudo-findings feed
+    ``operators.verdict.weighted_verdict``; DuckDB recomputes the
+    threshold gate, the weighted sum, and best-detection attribution."""
+    from .operators.textstats import token_count
+    from .operators.verdict import weighted_verdict
+
+    d = _read(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    # pattern-slot: probability grows with length, capped at 0.9; absent
+    # for long docs — exercises the >=0.7 gate on both sides
+    f1 = F.when(
+        n < 120,
+        F.struct(
+            F.lit("len_rule").alias("rule"),
+            F.lit("LEN").alias("code"),
+            F.round(F.least(n / F.lit(100.0), F.lit(1.0)) * 0.9, 6).alias("probability"),
+        ),
+    )
+    # ml-slot: fires on n%7 with one above-gate and one below-gate branch
+    f2 = F.when(
+        n % 7 == 0,
+        F.struct(F.lit("mod_rule").alias("rule"), F.lit("MOD0").alias("code"),
+                 F.lit(0.95).alias("probability")),
+    ).when(
+        n % 7 == 1,
+        F.struct(F.lit("mod_rule").alias("rule"), F.lit("MOD1").alias("code"),
+                 F.lit(0.6).alias("probability")),
+    )
+    v = weighted_verdict({"pattern": f1, "ml": f2}, weights={"pattern": 0.6, "ml": 0.4})
+    return d.select(
+        "doc_id",
+        F.col("text").isNotNull().alias("scored"),
+        v["method"].alias("method"),
+        v["code"].alias("code"),
+        F.round(v["probability"], 6).alias("probability"),
+        v.isNull().alias("keep"),
+    )
+
+
+SQL_WEIGHTED_COMBINE = f"""
+WITH t AS (
+  SELECT doc_id, text IS NOT NULL AS scored,
+         len({_WORDS_SQL.format(c="text")}) AS n
+  FROM documents
+), f AS (
+  SELECT doc_id, scored,
+    CASE WHEN n < 120 THEN round(least(n / 100.0, 1.0) * 0.9, 6) END AS p1,
+    CASE WHEN n % 7 = 0 THEN 0.95 WHEN n % 7 = 1 THEN 0.6 END AS p2
+  FROM t
+), g AS (
+  SELECT doc_id, scored, p2,
+    CASE WHEN p1 >= 0.7 THEN p1 END AS g1,  -- pattern threshold gate
+    CASE WHEN p2 >= 0.7 THEN p2 END AS g2   -- ml threshold gate
+  FROM f
+), v AS (
+  SELECT doc_id, scored, p2,
+    coalesce(g1 * 0.6, 0) + coalesce(g2 * 0.4, 0) AS score,
+    -- best gated detection: strictly-higher wins, first slot keeps ties
+    CASE WHEN g2 IS NOT NULL AND (g1 IS NULL OR g2 > g1) THEN 'ml'
+         WHEN g1 IS NOT NULL THEN 'pattern' END AS best
+  FROM g
+)
+SELECT doc_id, scored,
+  CASE WHEN score >= 0.3 THEN coalesce(best, 'weighted') END AS method,
+  CASE WHEN score >= 0.3 THEN
+    CASE WHEN best = 'ml' THEN (CASE WHEN p2 = 0.95 THEN 'MOD0' ELSE 'MOD1' END)
+         WHEN best = 'pattern' THEN 'LEN'
+         ELSE 'WEIGHTED_ANOMALY' END END AS code,
+  CASE WHEN score >= 0.3 THEN round(least(score, 1.0), 6) END AS probability,
+  NOT (score >= 0.3) AS keep
+FROM v
+"""
+
+
 PACK_BUDGET, PACK_SHARDS = 512, 8
 
 
@@ -1815,6 +1892,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sequence_packing": q_sequence_packing,
     "skew_salted_stats": q_skew_salted_stats,
+    "weighted_combine": q_weighted_combine,
     "pipeline_rules_verdict": q_pipeline_rules_verdict,
     "lang_heuristic": q_lang_heuristic,
     "quality_score": q_quality_score,
@@ -1866,6 +1944,7 @@ ORACLES = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "skew_salted_stats": SQL_SKEW_SALTED_STATS,
+    "weighted_combine": SQL_WEIGHTED_COMBINE,
     "pipeline_rules_verdict": SQL_PIPELINE_RULES_VERDICT,
     "lang_heuristic": SQL_LANG_HEURISTIC,
     "quality_score": SQL_QUALITY_SCORE,
