@@ -1111,6 +1111,109 @@ FROM v
 """
 
 
+_SWEEP_THRESHOLDS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def q_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metrics.threshold_sweep (the reference's PR-curve generator,
+    ml_curve_generator.py:234-367, as ONE pass) — ORACLED: deterministic
+    score/label pairs derived from token counts, DuckDB recomputes the
+    whole curve."""
+    from .operators.metrics import threshold_sweep
+    from .operators.textstats import token_count
+
+    d = _read(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    scored = d.select(
+        F.round(F.least(n / F.lit(100.0), F.lit(1.0)), 6).alias("s"),
+        (n % 3 == 0).alias("y"),
+    )
+    curve = threshold_sweep(scored, "s", "y", _SWEEP_THRESHOLDS)
+    return curve.select(
+        F.round("threshold", 6).alias("threshold"), "tp", "fp", "fn", "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+SQL_THRESHOLD_CURVE = f"""
+WITH sc AS (
+  SELECT round(least(len({_WORDS_SQL.format(c="text")}) / 100.0, 1.0), 6) AS s,
+         (len({_WORDS_SQL.format(c="text")}) % 3 = 0) AS y
+  FROM documents WHERE text IS NOT NULL
+), e AS (
+  SELECT s, y, t.threshold FROM sc
+  CROSS JOIN (SELECT unnest({_SWEEP_THRESHOLDS}) AS threshold) t
+), agg AS (
+  SELECT threshold,
+    sum(CASE WHEN s > threshold AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+    sum(CASE WHEN s > threshold AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp,
+    sum(CASE WHEN s <= threshold AND y THEN 1 ELSE 0 END)::BIGINT AS fn,
+    sum(CASE WHEN s <= threshold AND NOT y THEN 1 ELSE 0 END)::BIGINT AS tn
+  FROM e GROUP BY threshold
+)
+SELECT round(threshold, 6) AS threshold, tp, fp, fn, tn,
+  round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END, 6) AS precision,
+  round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END, 6) AS recall,
+  round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END)
+           + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END) > 0
+        THEN 2 * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END)
+               * (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END)
+             / ((CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END)
+              + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END))
+        ELSE 0.0 END, 6) AS f1
+FROM agg
+"""
+
+
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metrics.confusion_matrix (reference set-algebra scoring,
+    confusion_matrix_analyzer.py:79-341, as a full-outer join) — ORACLED
+    on deterministic detected/injected sets from doc_id residues."""
+    from .operators.metrics import confusion_matrix
+
+    d = _read(spark, sf_dir, "documents")
+    n_rows = d.count()
+    base = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("text").alias("field"),
+        "doc_id",
+    )
+    detected = base.filter(F.col("doc_id") % 3 == 0).drop("doc_id")
+    injected = base.filter(F.col("doc_id") % 4 == 0).drop("doc_id")
+    cm = confusion_matrix(detected, injected, n_rows=n_rows, n_fields=1)
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+SQL_CONFUSION_MATRIX = """
+WITH n AS (SELECT count(*) AS n_rows FROM documents),
+agg AS (
+  SELECT
+    sum(CASE WHEN doc_id % 3 = 0 AND doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS tp,
+    sum(CASE WHEN doc_id % 3 = 0 AND doc_id % 4 != 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+    sum(CASE WHEN doc_id % 3 != 0 AND doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM documents
+)
+SELECT tp, fp, fn, (SELECT n_rows FROM n) - tp - fp - fn AS tn,
+  round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END, 6) AS precision,
+  round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END, 6) AS recall,
+  round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END)
+           + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END) > 0
+        THEN 2 * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END)
+               * (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END)
+             / ((CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END)
+              + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END))
+        ELSE 0.0 END, 6) AS f1
+FROM agg
+"""
+
+
 PACK_BUDGET, PACK_SHARDS = 512, 8
 
 
@@ -1893,6 +1996,8 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "skew_salted_stats": q_skew_salted_stats,
     "weighted_combine": q_weighted_combine,
+    "threshold_curve": q_threshold_curve,
+    "confusion_matrix": q_confusion_matrix,
     "pipeline_rules_verdict": q_pipeline_rules_verdict,
     "lang_heuristic": q_lang_heuristic,
     "quality_score": q_quality_score,
@@ -1945,6 +2050,8 @@ ORACLES = {
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "skew_salted_stats": SQL_SKEW_SALTED_STATS,
     "weighted_combine": SQL_WEIGHTED_COMBINE,
+    "threshold_curve": SQL_THRESHOLD_CURVE,
+    "confusion_matrix": SQL_CONFUSION_MATRIX,
     "pipeline_rules_verdict": SQL_PIPELINE_RULES_VERDICT,
     "lang_heuristic": SQL_LANG_HEURISTIC,
     "quality_score": SQL_QUALITY_SCORE,
