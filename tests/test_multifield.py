@@ -109,3 +109,43 @@ def test_ported_injection_rules_recoverable(spark):
     # at least half the rules actually change this value
     changed = [c for c in corrupted if c != clean]
     assert len(changed) >= len(inj) // 2
+
+
+def test_url_quality_ruleset(spark):
+    """UT1-style URL filtering through the same engine: the shipped
+    url_quality ruleset runs as a multifield field→column mapping and the
+    independent oracle agrees on every crafted case."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.operators.multifield import detect_fields
+    from data_quality_monitoring_spark.oracle import rule_first_hit
+    from data_quality_monitoring_spark.resources import read_package_json
+
+    spec = read_package_json("rulesets", "url_quality.json")
+    rules = spec["rules"]
+    cases = [
+        (None, "NO_URL"),
+        ("ftp://files.example.com/a", "BAD_SCHEME"),
+        ("https://example.com/" + "x" * 2048, "URL_TOO_LONG"),
+        ("https://best-casino-wins.example/page", "BLOCKED_DOMAIN"),
+        ("https://example.com/setup.exe", "BINARY_DOWNLOAD"),
+        ("https://example.com/dl.ZIP?x=1", "BINARY_DOWNLOAD"),
+        ("https://example.com/p?phpsessid=abc", "SESSION_URL"),
+        ("https://example.com/0123456789012345678901", "DIGIT_URL"),
+        ("https://example.com/article/clean-title", None),
+    ]
+    for engine in ("native", "python"):
+        df = spark.createDataFrame(
+            pd.DataFrame({"url": pd.Series([c for c, _ in cases], dtype="object")})
+        )
+        out = detect_fields(df, {"url": rules}, regex_engine=engine)
+        got = [
+            None if f is None else f["code"]
+            for f in out.select("f_url").toPandas()["f_url"]
+        ]
+        assert got == [e for _, e in cases], engine
+    oracle = [
+        None if (f := rule_first_hit(u, rules)) is None else f["code"] for u, _ in cases
+    ]
+    assert oracle == [e for _, e in cases]
