@@ -61,3 +61,55 @@ def test_build_corpus_sampling_gate(spark):
     full_urls = {r["url"] for r in full.select("url").collect()}
     samp_urls = {r["url"] for r in sampled.select("url").collect()}
     assert samp_urls < full_urls
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """New-batch dedup against a stored signature set: exact dups of batch-1
+    docs are dropped in batch 2, near-dups lose to the existing corpus,
+    fresh docs pass, and the store grows so batch 3 sees batch 2."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.plans.corpus import incremental_dedup
+
+    store = str(tmp_path / "sigs")
+
+    def docs(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "text_scrubbed"])
+        )
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while seventeen other "
+        "animals watch from behind a wooden fence near the river bank and "
+        "every single one of them wonders how long this spectacle can last "
+        "before someone finally decides to go home for dinner tonight"
+    )
+    b1 = docs([("b1/a", base_text), ("b1/b", "completely different first corpus text " * 6)])
+    acc1, s1 = incremental_dedup(spark, b1, store)
+    assert s1 == {"batch_in": 2, "accepted": 2, "dropped": 0}
+
+    near = base_text.replace("lazy", "sleepy")  # high-Jaccard near-dup of b1/a
+    b2 = docs(
+        [
+            ("b2/exact", base_text),            # exact dup of b1/a → dropped
+            ("b2/near", near),                  # near dup of b1/a → dropped
+            ("b2/fresh", "entirely novel second batch content " * 6),
+        ]
+    )
+    acc2, s2 = incremental_dedup(spark, b2, store)
+    assert s2["batch_in"] == 3 and s2["accepted"] == 1
+    assert [r["url"] for r in acc2.select("url").collect()] == ["b2/fresh"]
+
+    # batch 3 dedups against batch 2's accepted docs too
+    b3 = docs([("b3/dup-of-fresh", "entirely novel second batch content " * 6)])
+    acc3, s3 = incremental_dedup(spark, b3, store)
+    assert s3 == {"batch_in": 1, "accepted": 0, "dropped": 1}
+
+    # keep-one within a single new batch: min key survives
+    b4 = docs([("b4/x1", "batch four only text " * 8), ("b4/x2", "batch four only text " * 8)])
+    acc4, s4 = incremental_dedup(spark, b4, store)
+    # exact dup inside the batch: content hashes equal → LSH path sees both
+    # as new; min key wins (x1)
+    urls = sorted(r["url"] for r in acc4.select("url").collect())
+    assert urls == ["b4/x1"] and s4["accepted"] == 1
