@@ -109,6 +109,14 @@ def incremental_dedup(
     4. survivors' signatures are appended to the store — the next batch
        sees them.
 
+    Size note: the store carries per-doc shingle-hash arrays (~8 B per
+    distinct shingle, comparable to the text itself) because exact-Jaccard
+    verification needs both sides' sets.  At extreme scale, either accept
+    band-level candidates without verification (store shrinks to the 8
+    minhashes + content hash per doc) or keep the old corpus readable by
+    key and join text on demand — the candidate-generation shape is the
+    same in all three configurations.
+
     Returns (accepted_new_docs, stats).
     """
     from pathlib import Path
