@@ -121,8 +121,6 @@ def incremental_dedup(
     """
     from pathlib import Path
 
-    from pyspark.sql import Window
-
     from ..operators.dedup import minhash_signatures, shingle_column
 
     sig_cols = [f"h{i}" for i in range(8)]
