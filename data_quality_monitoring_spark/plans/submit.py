@@ -37,8 +37,8 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description="web-page quality filter")
     p.add_argument(
         "--mode",
-        choices=["filter", "corpus", "single-demo", "multi-eval", "ml-curves",
-                 "ml-train", "llm-train", "analyze-column"],
+        choices=["filter", "corpus", "incremental", "single-demo", "multi-eval",
+                 "ml-curves", "ml-train", "llm-train", "analyze-column"],
         default="filter",
         help="filter = resumable quality filter (default); corpus = filter "
         "+ dedup battery + optional sampling → final training corpus; "
@@ -77,6 +77,11 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     )
     p.add_argument("--default-rate", type=float, default=1.0, help="corpus sample default")
     p.add_argument("--field", default="lang", help="analyze-column target field")
+    p.add_argument(
+        "--sig-store", default=None,
+        help="incremental mode: parquet dir of the accepted corpus's "
+        "minhash signatures (created on first batch, appended per batch)",
+    )
     return p.parse_args(argv)
 
 
@@ -284,9 +289,37 @@ def run_ml_curves(spark: SparkSession, args: argparse.Namespace) -> dict:
     return {"n_thresholds": len(rows), "best": best}
 
 
+def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """incremental: filter the new batch, then dedup it against the stored
+    corpus signatures (plans/corpus.incremental_dedup) and append the
+    accepted docs + signatures.  The monthly-dump workflow: each run costs
+    O(batch), not O(corpus)."""
+    from pathlib import Path
+
+    from ..operators.extract import extract_pages
+    from .corpus import incremental_dedup
+
+    if not args.sig_store:
+        raise SystemExit("--mode incremental requires --sig-store")
+    pages = spark.read.parquet(args.input)
+    if getattr(args, "extract_html", False):
+        pages = extract_pages(pages)
+    filtered = quality_filter(
+        spark, pages, combine=args.combine, regex_engine=args.regex_engine,
+        methods=_parse_methods(getattr(args, "methods", None)),
+    )
+    kept = filtered.filter(F.col("keep")).select("url", "lang", "text_scrubbed")
+    accepted, stats = incremental_dedup(spark, kept, args.sig_store)
+    accepted.write.mode("append").parquet(f"{args.output}/corpus")
+    Path(args.output).mkdir(parents=True, exist_ok=True)
+    Path(args.output, "last_batch_stats.json").write_text(json.dumps(stats, indent=1))
+    return stats
+
+
 _MODES = {
     "filter": run,
     "corpus": run_corpus,
+    "incremental": run_incremental,
     "single-demo": run_single_demo,
     "multi-eval": run_multi_eval,
     "ml-curves": run_ml_curves,

@@ -198,3 +198,30 @@ def test_cli_extract_html_flag(spark, tmp_path):
     b = spark.read.parquet(f"{out_pre}/data").select("url", "keep", "text_scrubbed") \
         .toPandas().sort_values("url").reset_index(drop=True)
     assert len(a) == 128 and a.equals(b)
+
+
+def test_cli_incremental_mode(spark, tmp_path):
+    """--mode incremental: two successive batches through the ship CLI —
+    the second batch's repeats of the first are dropped via the signature
+    store, fresh docs append to the corpus."""
+    from data_quality_monitoring_spark.plans.submit import main
+
+    b1, b2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "sigs")
+    pages = generate_pages(spark, 160, partitions=4)
+    pages.write.parquet(b1)
+    pages.write.parquet(b2)  # identical dump re-delivered
+
+    common = ["--output", out, "--sig-store", store]
+    main(["--mode", "incremental", "--input", b1, *common])
+    import json as j
+
+    s1 = j.loads((tmp_path / "out" / "last_batch_stats.json").read_text())
+    assert s1["dropped"] == 0 and s1["accepted"] > 50
+
+    main(["--mode", "incremental", "--input", b2, *common])
+    s2 = j.loads((tmp_path / "out" / "last_batch_stats.json").read_text())
+    assert s2["accepted"] == 0 and s2["dropped"] == s1["accepted"]
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() == s1["accepted"]  # batch 2 added nothing
