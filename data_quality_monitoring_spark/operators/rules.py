@@ -129,6 +129,13 @@ def _count_char(col: Column, ch: str) -> Column:
     return F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
 
 
+def _strip_ws(l: Column) -> Column:
+    """Per-line strip of the full ASCII whitespace CLASS — F.trim strips
+    spaces only, which made native vs python verdicts diverge on CRLF or
+    tab-padded lines (review finding; python/oracle use the same class)."""
+    return F.regexp_replace(l, rf"^{_WS}+|{_WS}+$", "")
+
+
 def _native_predicate(col: Column, rule: dict) -> Column:
     """Compile one rule to a boolean Column (fires == True). Null-unsafe:
     callers wrap with the isNotNull guard."""
@@ -258,7 +265,7 @@ def _native_predicate(col: Column, rule: dict) -> Column:
         return hits < int(rule["min_count"])
     if rt == "max_line_dup_ratio":
         lines = F.filter(
-            F.transform(F.split(col, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
+            F.transform(F.split(col, r"\n"), _strip_ws), lambda l: l != ""
         )
         n_lines = F.size(lines)
         return (n_lines > 1) & (
@@ -268,7 +275,7 @@ def _native_predicate(col: Column, rule: dict) -> Column:
         # Gopher-style layout heuristics: fraction of non-empty lines that
         # start with a bullet marker / end with an ellipsis
         lines = F.filter(
-            F.transform(F.split(col, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
+            F.transform(F.split(col, r"\n"), _strip_ws), lambda l: l != ""
         )
         n_lines = F.size(lines)
         if rt == "max_bullet_ratio":
@@ -408,7 +415,7 @@ def _batch_bitmask_udf(rules: list[dict], include: set[str]):
                 def line_dup(t):
                     if not isinstance(t, str):
                         return False
-                    lines = [l.strip() for l in t.split("\n") if l.strip()]
+                    lines = [x for l in t.split("\n") if (x := l.strip(" \t\n\r\f\x0b"))]
                     return len(lines) > 1 and (len(lines) - len(set(lines))) / len(lines) > r
 
                 fire = s.map(line_dup)
@@ -419,7 +426,7 @@ def _batch_bitmask_udf(rules: list[dict], include: set[str]):
                 def layout(t):
                     if not isinstance(t, str):
                         return False
-                    lines = [l.strip() for l in t.split("\n") if l.strip()]
+                    lines = [x for l in t.split("\n") if (x := l.strip(" \t\n\r\f\x0b"))]
                     if not lines:
                         return False
                     if bullet:

@@ -143,7 +143,7 @@ def rule_first_hit(value, rules: list[dict]) -> dict | None:
             stops = {s.lower() for s in rule["stopwords"]}
             fired = sum(1 for w in v.split() if w.lower() in stops) < int(rule["min_count"])
         elif rt == "max_line_dup_ratio":
-            lines = [l.strip() for l in v.split("\n") if l.strip()]
+            lines = [x for l in v.split("\n") if (x := l.strip(" \t\n\r\f\x0b"))]
             fired = len(lines) > 1 and (len(lines) - len(set(lines))) / len(lines) > float(
                 rule["max_ratio"]
             )
@@ -151,7 +151,7 @@ def rule_first_hit(value, rules: list[dict]) -> dict | None:
             # independent copy of the marker set (this labeler shares no
             # code with the engine by design — see module docstring)
             BULLET_CHARS = ["•", "-", "*", "·", "●", "▪"]
-            lines = [l.strip() for l in v.split("\n") if l.strip()]
+            lines = [x for l in v.split("\n") if (x := l.strip(" \t\n\r\f\x0b"))]
             if rt == "max_bullet_ratio":
                 n_hit = sum(1 for l in lines if l[0] in BULLET_CHARS)
             else:

@@ -39,7 +39,7 @@ texts = st.lists(
         st.none(),
         st.text(max_size=120),
         st.text(alphabet="abc 0123()!%hotcold\t\n", max_size=120),
-        st.text(alphabet="a .•-*\n…", max_size=120),  # bullet/ellipsis layouts
+        st.text(alphabet="a .•-*\n…\r\t", max_size=120),  # bullet/ellipsis layouts incl. CRLF/tab padding
     ),
     min_size=1,
     max_size=60,

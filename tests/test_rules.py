@@ -150,6 +150,7 @@ CASES: list[tuple[list[dict], list[tuple[str | None, str | None]]]] = [
             ("• one\n• two\nthree", "BULLET"),  # 2/3 bulleted
             ("- a\ntext line\nmore text", None),  # 1/3
             ("• only", "BULLET"),
+            ("\t• one\n\t• two\nplain", "BULLET"),  # tab-padded bullets
             ("plain\n\n  \n", None),  # blank lines ignored
         ],
     ),
@@ -157,6 +158,8 @@ CASES: list[tuple[list[dict], list[tuple[str | None, str | None]]]] = [
         [{"type": "max_ellipsis_line_ratio", "max_ratio": 0.3, "error_code": "ELLIP"}],
         [
             ("read more...\nclick here…\nfull text", "ELLIP"),  # 2/3
+            ("read more...\r\nnext\r\nplain\r\nlast", None),  # CRLF: 1/4
+            ("more...\r\nagain...\r\nplain", "ELLIP"),  # CRLF: 2/3
             ("one...\ntwo\nthree\nfour", None),  # 1/4
             ("no ellipsis at all", None),
         ],
