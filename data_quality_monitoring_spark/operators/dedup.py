@@ -311,6 +311,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     seed: int = 7,
     round_to: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: MULTI-TABLE random-hyperplane LSH
     (AND-OR construction) → exact cosine verify on candidates.
@@ -332,6 +333,16 @@ def embedding_near_dup_pairs(
     All table buckets are computed in ONE vectorized Arrow UDF pass
     (batch matrix multiply), posexploded to (table, bucket) rows, and
     candidates come from an equi-join on that pair — never all-pairs.
+
+    ``max_bucket`` guards the one remaining skew hazard: a mass-duplicated
+    embedding family (SEO template pages, empty-page vectors) lands every
+    copy in the SAME bucket of EVERY table, turning the self-join quadratic
+    in the family size × n_tables.  When set, (table, bucket) groups larger
+    than the cap are anti-joined out before the self-join (the hot set is
+    tiny, AQE broadcasts it), exactly like the minhash-LSH cap.  Identical-
+    vector families should be collapsed by exact dedup upstream — the cap
+    bounds the damage when they are not.  Default None keeps the contract
+    query exact.
     """
     first = df.select(F.size(vec_col).alias("d")).first()
     dim = int(first["d"])
@@ -350,6 +361,14 @@ def embedding_near_dup_pairs(
         "bkts", buckets(F.col("v"))
     )
     tabled = with_b.select("k", F.posexplode("bkts").alias("tbl", "bkt"))
+    if max_bucket is not None:
+        hot = (
+            tabled.groupBy("tbl", "bkt")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("tbl", "bkt")
+        )
+        tabled = tabled.join(F.broadcast(hot), ["tbl", "bkt"], "left_anti")
     a, b = tabled.alias("a"), tabled.alias("b")
     cand = (
         a.join(
@@ -540,3 +559,81 @@ def connected_components(
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     finally:
         edges.unpersist()
+
+
+def substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): remove every token that lies inside
+    a >= k-token span occurring more than once in the corpus.
+
+    The paper builds one suffix array over the concatenated corpus — a
+    global sorted structure no distributed engine wants.  The Spark-first
+    equivalent keeps the exact semantics at window granularity: a token is
+    removed iff SOME k-token window containing it appears >= 2 times
+    corpus-wide (all copies are removed, the paper's default).  Plan:
+
+    1. per-doc k-gram hashes, natively (``transform`` over a start-index
+       sequence; ``xxhash64`` of the space-joined slice) — whole-stage
+       codegen, zero Python, no shuffle,
+    2. posexplode to an (id, start, hash) stream — exactly one row per
+       corpus token position, 16 bytes each,
+    3. count occurrences per hash (map-side combined; the ONE shuffle) and
+       keep hashes with count >= 2 — at web scale this "duplicated-window"
+       set is orders of magnitude smaller than the stream,
+    4. join the small dup set back (AQE broadcasts it), collect duplicated
+       starts per doc (second, tiny shuffle),
+    5. rebuild each doc scan-locally: token at position p survives iff no
+       duplicated start s satisfies s <= p <= s+k-1 (a bounded
+       higher-order-function filter over the doc's own arrays).
+
+    Within-engine hash collisions (64-bit) are the only approximation:
+    P(any collision) ~ n_positions^2 / 2^65 — at 10^12 positions that is
+    material, so a 100-TB deployment widens to the 128-bit md5 pair or
+    verifies dup groups by first/last token; at contract scale it is ~1e-9.
+
+    Returns (id, n_tokens, n_removed, text_dedup).
+    """
+    # ASCII-ws split + drop-empties == Python str.split() on ASCII text and
+    # the oracle's list_filter(regexp_split_to_array(...)) exactly (Java \s
+    # is the ASCII class [ \t\n\x0B\f\r])
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+
+    n = F.size("_toks")
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        starts, lambda s: F.xxhash64(F.concat_ws(" ", F.slice("_toks", s, k)))
+    )
+    occ = base.select("_id", F.posexplode(grams).alias("_i", "_h")).select(
+        "_id", (F.col("_i") + 1).alias("_s"), "_h"
+    )
+    dup_h = occ.groupBy("_h").agg(F.count("*").alias("_c")).filter(F.col("_c") >= 2)
+    dup_starts = (
+        occ.join(dup_h.select("_h"), "_h", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_list("_s").alias("_ds"))
+    )
+    joined = base.join(dup_starts, "_id", "left").select(
+        "_id",
+        "_toks",
+        F.coalesce("_ds", F.array().cast("array<int>")).alias("_ds"),
+    )
+    kept = F.filter(
+        "_toks",
+        lambda t, i: ~F.exists(
+            "_ds", lambda s: (s <= i + 1) & (i + 1 <= s + k - 1)
+        ),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_dedup"),
+    )

@@ -43,6 +43,37 @@ LANGID_RESULT = T.StructType(
 )
 
 
+_WS_RE = None  # compiled lazily so the module stays import-light on executors
+
+
+def _word_buckets(text: str) -> np.ndarray:
+    """SQL-reproducible word-level feature buckets: md5-prefix of each
+    lowercased word, mod N_BUCKETS.
+
+    This is the *contract* featurizer: DuckDB computes the identical bucket
+    as ``('0x' || substr(md5(w), 1, 8))::UBIGINT % 16384``, which is what
+    lets the langid / quality-model scorer queries be fully oracled
+    (the same trick that oracle'd dedup_simhash).  The char-n-gram rolling
+    hash stays the default scoring featurizer; it is pinned by goldens.
+    Tokenization is the explicit ASCII-whitespace class (textstats._WS) so
+    both engines split identically even on tab/CR-padded text.
+    """
+    import hashlib
+    import re
+
+    global _WS_RE
+    if _WS_RE is None:
+        _WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+    words = [w for w in _WS_RE.split(text.lower()) if w]
+    return np.asarray(
+        [int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16) % N_BUCKETS for w in words],
+        dtype=np.int64,
+    )
+
+
+_FEATURIZERS = {"char": None, "word_md5": _word_buckets}  # char filled below
+
+
 def _ngram_buckets(text: str) -> np.ndarray:
     """Stable hashed char n-gram ids for one document.
 
@@ -59,28 +90,35 @@ def _ngram_buckets(text: str) -> np.ndarray:
     return np.concatenate([n1, n2, n3]) % N_BUCKETS
 
 
+_FEATURIZERS["char"] = _ngram_buckets
+
+
 @dataclass
 class LangIdModel:
     langs: list[str]
-    log_probs: np.ndarray  # (L, B) float32 — log P(bucket | lang), smoothed
+    log_probs: np.ndarray  # (L, B) — log P(bucket | lang), smoothed
     log_priors: np.ndarray  # (L,)
+    feat: str = "char"  # featurizer key in _FEATURIZERS
 
     def score_batch(self, texts: pd.Series, claimed: pd.Series) -> pd.DataFrame:
         preds, confs, claimed_scores = [], [], []
         lang_idx = {l: i for i, l in enumerate(self.langs)}
+        featurize = _FEATURIZERS[self.feat]
         for text, cl in zip(texts, claimed):
             if text is None or not isinstance(text, str) or text.strip() == "":
                 preds.append(None)
                 confs.append(None)
                 claimed_scores.append(None)
                 continue
-            b = _ngram_buckets(text)
+            b = featurize(text)
             # sparse gather: a doc touches ~10³ of the 2¹⁴ buckets, so
             # lp[:, uniq] @ cnts moves ~6× less memory than a dense
             # bincount + full matvec — this is what makes the UDF scale
             # with cores instead of saturating memory bandwidth
             uniq, cnts = np.unique(b, return_counts=True)
-            logp = self.log_priors + self.log_probs[:, uniq] @ cnts.astype(np.float32)
+            logp = self.log_priors + self.log_probs[:, uniq] @ cnts.astype(
+                self.log_probs.dtype
+            )
             logp -= logp.max()
             post = np.exp(logp)
             post /= post.sum()
@@ -95,33 +133,53 @@ class LangIdModel:
 
     def to_npz(self, path: str) -> None:
         np.savez_compressed(
-            path, langs=np.array(self.langs), log_probs=self.log_probs, log_priors=self.log_priors
+            path,
+            langs=np.array(self.langs),
+            log_probs=self.log_probs,
+            log_priors=self.log_priors,
+            feat=np.array(self.feat),
         )
 
     @classmethod
     def from_npz(cls, path: str) -> "LangIdModel":
         z = np.load(path, allow_pickle=False)
-        return cls(list(z["langs"]), z["log_probs"], z["log_priors"])
+        feat = str(z["feat"]) if "feat" in z.files else "char"
+        return cls(list(z["langs"]), z["log_probs"], z["log_priors"], feat)
 
 
-def train_langid(texts_by_lang: dict[str, list[str]], alpha: float = 0.5) -> LangIdModel:
-    """Closed-form Naive Bayes over hashed n-grams (deterministic)."""
+def train_langid(
+    texts_by_lang: dict[str, list[str]],
+    alpha: float = 0.5,
+    feat: str = "char",
+    dtype=np.float32,
+) -> LangIdModel:
+    """Closed-form Naive Bayes over hashed n-grams (deterministic).
+
+    ``dtype=np.float64`` keeps the weights in doubles — required when a
+    DuckDB oracle recomputes the same posteriors in SQL (float32 rounding
+    is not reproducible relationally)."""
+    featurize = _FEATURIZERS[feat]
     langs = sorted(texts_by_lang)
     counts = np.zeros((len(langs), N_BUCKETS), dtype=np.float64)
     n_docs = np.zeros(len(langs))
     for li, lang in enumerate(langs):
         for text in texts_by_lang[lang]:
-            b = _ngram_buckets(text)
+            b = featurize(text)
             counts[li] += np.bincount(b, minlength=N_BUCKETS)
         n_docs[li] = max(len(texts_by_lang[lang]), 1)
     totals = counts.sum(axis=1, keepdims=True)
     log_probs = np.log(counts + alpha) - np.log(totals + alpha * N_BUCKETS)
     log_priors = np.log(n_docs / n_docs.sum())
-    return LangIdModel(langs, log_probs.astype(np.float32), log_priors.astype(np.float32))
+    return LangIdModel(langs, log_probs.astype(dtype), log_priors.astype(dtype), feat)
 
 
 def train_langid_distributed(
-    docs, text_col: str = "text", lang_col: str = "lang", alpha: float = 0.5
+    docs,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    alpha: float = 0.5,
+    feat: str = "char",
+    dtype=np.float32,
 ) -> LangIdModel:
     """Distributed closed-form NB training — the reference's ``ml-train``
     entry point (ml_based/model_training.py:134-267) as ONE Spark
@@ -134,10 +192,12 @@ def train_langid_distributed(
     L × 16384 rows regardless of corpus size — and the driver folds them
     into the (L, B) matrix.  Bit-identical to :func:`train_langid` on the
     same corpus (asserted in tests/test_models.py)."""
+    featurize = _FEATURIZERS[feat]
+
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def buckets(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda t: [] if t is None else _ngram_buckets(t).astype("int32").tolist()
+            lambda t: [] if t is None else featurize(t).astype("int32").tolist()
         )
 
     # rows with no language tag can't contribute to a per-lang model —
@@ -148,7 +208,7 @@ def train_langid_distributed(
     )
     rows = exploded.groupBy("lang", "bucket").agg(F.count("*").alias("n")).collect()
     doc_counts = {
-        r["lang"]: r["n"]
+        r[lang_col]: r["n"]
         for r in docs.groupBy(lang_col).agg(F.count("*").alias("n")).collect()
     }
     langs = sorted(doc_counts)
@@ -160,7 +220,7 @@ def train_langid_distributed(
     log_probs = np.log(counts + alpha) - np.log(totals + alpha * N_BUCKETS)
     n_docs = np.array([max(doc_counts[lang], 1) for lang in langs], dtype=np.float64)
     log_priors = np.log(n_docs / n_docs.sum())
-    return LangIdModel(langs, log_probs.astype(np.float32), log_priors.astype(np.float32))
+    return LangIdModel(langs, log_probs.astype(dtype), log_priors.astype(dtype), feat)
 
 
 def langid_struct(
@@ -172,13 +232,13 @@ def langid_struct(
     cluster ships them once per executor, not per task.
     """
     bc = spark.sparkContext.broadcast(
-        (model.langs, model.log_probs, model.log_priors)
+        (model.langs, model.log_probs, model.log_priors, model.feat)
     )
 
     @F.pandas_udf(LANGID_RESULT)
     def _score(texts: pd.Series, claims: pd.Series) -> pd.DataFrame:
-        langs, lp, pri = bc.value
-        m = LangIdModel(list(langs), lp, pri)
+        langs, lp, pri, feat = bc.value
+        m = LangIdModel(list(langs), lp, pri, feat)
         return m.score_batch(texts, claims)
 
     return _score(text, claimed)

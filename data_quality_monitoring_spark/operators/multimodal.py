@@ -56,18 +56,136 @@ FEATURE_DIM = 8
 _FEATURE_MOD = 1009  # prime; features are (seed·(i+1)) mod 1009, scaled
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Pure-stdlib PNG decode (struct + zlib): returns (width, height,
+    channels, pixels[h, w, c] uint8).  Supports the formats a web corpus
+    overwhelmingly carries — 8-bit grayscale / RGB / RGBA / gray+alpha,
+    non-interlaced, all five scanline filters.  No image library needed:
+    PNG is just zlib-compressed filtered scanlines."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, width, height, channels, bit_depth = 8, 0, 0, 0, 0
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8 or interlace != 0:
+                raise NotImplementedError("only 8-bit non-interlaced PNG")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1).astype(np.int64)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        else:  # Sub / Average / Paeth need the left neighbour → sequential
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                cur[x] = (line[x] + pred) % 256
+        out[y] = cur
+        prev = cur
+    return width, height, channels, out.reshape(height, width, channels)
+
+
+def _pixel_features(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """8-dim deterministic feature vector from decoded pixels: aspect,
+    log-area, up-to-3 channel means, overall std/min/max (all /255)."""
+    px = pixels.astype(np.float64)
+    ch_means = px.reshape(-1, px.shape[2]).mean(axis=0) / 255.0
+    means3 = np.zeros(3)
+    means3[: min(3, len(ch_means))] = ch_means[:3]
+    return np.array(
+        [
+            width / height,
+            np.log1p(width * height),
+            *means3,
+            px.std() / 255.0,
+            px.min() / 255.0,
+            px.max() / 255.0,
+        ],
+        dtype="float32",
+    )
+
+
 def decode_image_bytes(payload: bytes, deterministic_fake: bool = False) -> dict:
-    """STUB decode: the real implementation needs an image library.
+    """Image decode with a real stdlib path and a deterministic test path.
 
     ``deterministic_fake=True`` derives plausible metadata + an 8-dim
     feature vector purely from the bytes, seeded by the md5 of the payload.
     md5 (not crc32) deliberately: every derived value is then expressible
     in ANSI SQL, so the distributed plumbing can be oracled end-to-end, not
-    just smoke-tested."""
+    just smoke-tested.
+
+    The real path tries PIL if importable (jpeg/webp/...), else the
+    pure-stdlib PNG decoder above; anything else raises
+    NotImplementedError — honestly, rather than faking a decode."""
     if not deterministic_fake:
+        try:  # full codec coverage when an image library exists
+            import io
+
+            from PIL import Image  # type: ignore
+
+            img = Image.open(io.BytesIO(payload))
+            arr = np.asarray(img)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            w, h, ch = img.width, img.height, arr.shape[2]
+            return {
+                "content_md5": hashlib.md5(payload).hexdigest(),
+                "width": w,
+                "height": h,
+                "channels": ch,
+                "features": _pixel_features(arr, w, h),
+            }
+        except ImportError:
+            pass
+        if payload[:8] == _PNG_MAGIC:
+            w, h, ch, pixels = _decode_png(payload)
+            return {
+                "content_md5": hashlib.md5(payload).hexdigest(),
+                "width": w,
+                "height": h,
+                "channels": ch,
+                "features": _pixel_features(pixels, w, h),
+            }
         raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "environment; pass deterministic_fake=True for the test path"
+            "no image library available and payload is not a PNG; "
+            "pass deterministic_fake=True for the synthetic test path"
         )
     digest = hashlib.md5(payload).hexdigest()
     seed = int(digest[:8], 16)

@@ -184,3 +184,68 @@ def test_jaccard_df_cap_bounds_skew(spark):
     assert capped.filter(F.col("shingle") == boiler).count() == 0
     # docs keep their rare shingles
     assert capped.select("doc_id").distinct().count() == 200
+
+
+def test_substring_dedup_planted_span(spark):
+    from data_quality_monitoring_spark.operators.dedup import substring_dedup
+
+    span = " ".join(f"s{i}" for i in range(25))  # 25-token repeated span
+    uniq_a = " ".join(f"a{i}" for i in range(30))
+    uniq_b = " ".join(f"b{i}" for i in range(30))
+    uniq_c = " ".join(f"c{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, uniq_a + " " + span),
+            (2, uniq_b + " " + span),
+            (3, uniq_c),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in substring_dedup(docs, k=20).collect()
+    }
+    # the 25 planted tokens vanish from both carriers; unique prefixes stay
+    assert out[1]["n_removed"] == 25 and out[1]["text_dedup"] == uniq_a
+    assert out[2]["n_removed"] == 25 and out[2]["text_dedup"] == uniq_b
+    # untouched docs: nothing removed, text round-trips
+    assert out[3]["n_removed"] == 0 and out[3]["text_dedup"] == uniq_c
+    # below-window docs produce no grams and are never removed
+    assert out[4]["n_removed"] == 0 and out[4]["text_dedup"] == "short doc"
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    from data_quality_monitoring_spark.operators.dedup import substring_dedup
+
+    loop = " ".join(f"w{i % 10}" for i in range(60))  # period-10 repetition
+    docs = spark.createDataFrame([(1, loop)], "doc_id long, text string")
+    row = substring_dedup(docs, k=20).collect()[0]
+    # every 20-gram of a period-10 loop repeats within the doc → all removed
+    assert row["n_removed"] == 60 and row["text_dedup"] == ""
+
+
+def test_embedding_lsh_hot_bucket_cap(spark):
+    """A mass-duplicated embedding family lands in the same bucket of every
+    table; the cap anti-joins those hot groups out so the self-join never
+    goes quadratic in the family size, and leaves normal corpora exact."""
+    import numpy as np
+
+    from data_quality_monitoring_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    fam = rng.standard_normal(16)
+    rows = [(i, fam.tolist()) for i in range(1200)]
+    rand_rows = [(10_000 + i, rng.standard_normal(16).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows + rand_rows, "vec_id long, embedding array<double>")
+    capped = embedding_near_dup_pairs(df, "vec_id", max_bucket=100)
+    # without the cap the family alone yields 1200*1199/2 = 719k pairs ×32
+    # tables of join rows; with it the hot groups are gone entirely
+    assert capped.count() < 5000
+    # a corpus with no hot buckets is untouched by the cap (exactness)
+    rnd = spark.createDataFrame(rand_rows, "vec_id long, embedding array<double>")
+    uncapped = sorted(map(tuple, embedding_near_dup_pairs(rnd, "vec_id").collect()))
+    capped2 = sorted(
+        map(tuple, embedding_near_dup_pairs(rnd, "vec_id", max_bucket=100).collect())
+    )
+    assert uncapped == capped2

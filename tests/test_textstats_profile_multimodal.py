@@ -138,3 +138,90 @@ def test_normalize_text_unicode(spark):
     assert "\x01" not in out[1] and len(out[1]) == len(decomposed) - 2
     assert out[2] == "tab\there\nline"  # \t \n survive
     assert out[3] is None and out[4] == ""
+
+
+def _make_png(pixels, color_type):
+    """Minimal PNG encoder (filter 0 rows) for real-decode fixtures."""
+    import struct
+    import zlib
+
+    h, w = pixels.shape[:2]
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_real_png_bytes():
+    import numpy as np
+
+    from data_quality_monitoring_spark.operators.multimodal import decode_image_bytes
+
+    px = np.zeros((3, 5, 3), dtype=np.uint8)
+    px[..., 0] = 255  # pure red
+    meta = decode_image_bytes(_make_png(px, color_type=2))
+    assert (meta["width"], meta["height"], meta["channels"]) == (5, 3, 3)
+    f = meta["features"]
+    assert abs(f[0] - 5 / 3) < 1e-6  # aspect
+    assert abs(f[2] - 1.0) < 1e-6 and abs(f[3]) < 1e-6  # mean R=1, G=0
+    # grayscale path
+    g = (np.arange(12, dtype=np.uint8) * 20).reshape(3, 4, 1)
+    meta_g = decode_image_bytes(_make_png(g, color_type=0))
+    assert (meta_g["width"], meta_g["height"], meta_g["channels"]) == (4, 3, 1)
+    assert abs(meta_g["features"][2] - g.mean() / 255.0) < 1e-6
+
+
+def test_decode_png_up_filter():
+    """Exercise the non-trivial unfilter path (filter type 2 = Up)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from data_quality_monitoring_spark.operators.multimodal import _decode_png
+
+    px = np.array([[[10, 20], [30, 40]], [[50, 60], [70, 80]]], dtype=np.uint8)
+    h, w, c = px.shape
+    row0 = b"\x00" + px[0].tobytes()
+    diff = (px[1].astype(int) - px[0].astype(int)) % 256
+    row1 = b"\x02" + bytes(diff.astype(np.uint8).tobytes())
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(row0 + row1))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, dc, pixels = _decode_png(payload)
+    assert (dw, dh, dc) == (w, h, c)
+    assert (pixels == px).all()
+
+
+def test_extract_image_metadata_real_decode(spark):
+    import numpy as np
+
+    from data_quality_monitoring_spark.operators.multimodal import (
+        extract_image_metadata,
+    )
+
+    px = np.full((2, 2, 3), 128, dtype=np.uint8)
+    payload = _make_png(px, color_type=2)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "image/png", "u"), (2, "image", None, None, None)],
+        "media_id long, kind string, payload binary, mime string, source_url string",
+    )
+    rows = {r["media_id"]: r for r in extract_image_metadata(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (2, 2, 3)
+    assert rows[1]["n_bytes"] == len(payload)
+    assert rows[2]["width"] is None  # null payload stays null
