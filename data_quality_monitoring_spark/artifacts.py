@@ -73,6 +73,19 @@ def junk_texts(n: int = N_TRAIN_DOCS) -> list[str]:
 
 
 @lru_cache(maxsize=1)
+def get_bpe_pieces() -> tuple[str, ...]:
+    """Frozen BPE piece inventory trained on the seeded clean corpus (all
+    languages) — the tokenizer-faithful counting tier for packing budgets.
+    200 merges on the small seeded vocabulary leaves frequent words as
+    single pieces and rare/junk words as multi-piece, which is the shape
+    real subword vocabs have."""
+    from .operators.bpe import train_bpe_pieces
+
+    texts = [t for lang in LANGS for t in training_texts(lang, 50)]
+    return tuple(train_bpe_pieces(texts, n_merges=200))
+
+
+@lru_cache(maxsize=1)
 def get_quality_model():
     """fastText-style binary quality classifier (operators/quality_model):
     positives = the clean multi-language corpus, negatives = junk_texts."""

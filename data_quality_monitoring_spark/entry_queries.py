@@ -45,6 +45,14 @@ _WORDS_SQL = (
 
 _WS_SQL = "[ \\t\\n\\r\\f\\x0B]"  # backslashes literal in the SQL string → RE2 escapes
 
+# Python str.split()-equivalent tokens: split on the ASCII-whitespace class
+# and drop empties (handles leading/trailing/padded whitespace exactly).
+_PYWORDS_SQL = (
+    "list_filter(regexp_split_to_array(lower({c}), '" + _WS_SQL + "+'), w -> w <> '')"
+)
+# word → feature bucket, identical to operators/langid._word_buckets
+_MD5_BUCKET_SQL = "('0x' || substr(md5({w}), 1, 8))::UBIGINT % 16384"
+
 
 # ---------------------------------------------------------------- rule engine
 
@@ -1355,6 +1363,83 @@ FROM p GROUP BY lang, shard, pack_id
 SQL_SEQUENCE_PACKING = _sequence_packing_sql()
 
 
+BPE_PACK_BUDGET = 2048
+
+
+def q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on TOKENIZER-faithful budgets — FULLY ORACLED.
+
+    Same offset-packing window as q_sequence_packing, but the per-doc count
+    comes from the frozen seeded BPE piece inventory via greedy longest-
+    match (operators/bpe.py) instead of whitespace words: the counting a
+    real pre-training pipeline budgets with.  The oracle replays greedy
+    matching with a recursive CTE over the embedded piece table, then the
+    identical window arithmetic — so a divergence in tokenization, caching
+    or packing shifts totals/boundaries and fails the hash."""
+    from .artifacts import get_bpe_pieces
+    from .operators.bpe import bpe_token_count
+    from .operators.packing import pack_documents
+
+    d = _read(spark, sf_dir, "documents")
+    with_tok = d.withColumn(
+        "bpe_tokens", bpe_token_count(F.col("text"), list(get_bpe_pieces()))
+    )
+    packed = pack_documents(
+        with_tok,
+        "doc_id",
+        BPE_PACK_BUDGET,
+        group_cols=("lang",),
+        n_shards=PACK_SHARDS,
+        tokens_col="bpe_tokens",
+    )
+    return packed.groupBy("lang", "shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _sequence_packing_bpe_sql() -> str:
+    from .artifacts import get_bpe_pieces
+    from .operators.bpe import pieces_values_sql
+    from .operators.sampling import sample_bucket_sql
+
+    shard = f"({sample_bucket_sql('doc_id')} % {PACK_SHARDS})"
+    return f"""
+WITH RECURSIVE pieces(p, l) AS (SELECT * FROM {pieces_values_sql(list(get_bpe_pieces()))}),
+dw AS (
+  SELECT doc_id, lang, w
+  FROM (SELECT doc_id, lang, unnest({_PYWORDS_SQL.format(c="text")}) AS w FROM documents)
+), uw AS (SELECT DISTINCT w FROM dw),
+seg(w, pos, n) AS (
+  SELECT w, 1, 0 FROM uw
+  UNION ALL
+  SELECT w,
+         pos + coalesce((SELECT max(l) FROM pieces WHERE p = substr(seg.w, seg.pos, l)), 1),
+         n + 1
+  FROM seg WHERE pos <= length(w)
+), wc AS (SELECT w, max(n) AS np FROM seg GROUP BY w),
+t AS (
+  SELECT doc_id, any_value(lang) AS lang, sum(np)::INT AS n_tokens, {shard} AS shard
+  FROM dw JOIN wc USING (w) GROUP BY doc_id
+), p AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start
+  FROM t WHERE n_tokens > 0
+)
+SELECT lang, shard, floor(start / {BPE_PACK_BUDGET})::BIGINT AS pack_id,
+       count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM p GROUP BY lang, shard, pack_id
+"""
+
+
+SQL_SEQUENCE_PACKING_BPE = _sequence_packing_bpe_sql()
+
+
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→text extraction, the north rule's byte-identity invariant.
 
@@ -1918,13 +2003,6 @@ GROUP BY n_name
 # the production default (pipeline_verdict) and stay golden-pinned in
 # tests/test_models.py.
 
-# Python str.split()-equivalent tokens: split on the ASCII-whitespace class
-# and drop empties (handles leading/trailing/padded whitespace exactly).
-_PYWORDS_SQL = (
-    "list_filter(regexp_split_to_array(lower({c}), '" + _WS_SQL + "+'), w -> w <> '')"
-)
-# word → feature bucket, identical to operators/langid._word_buckets
-_MD5_BUCKET_SQL = "('0x' || substr(md5({w}), 1, 8))::UBIGINT % 16384"
 
 
 def _nb_score_sql(train_cte: str, claimed_expr: str) -> str:
@@ -2266,6 +2344,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "sample_stratified": q_sample_stratified,
     "sequence_packing": q_sequence_packing,
+    "sequence_packing_bpe": q_sequence_packing_bpe,
     "skew_salted_stats": q_skew_salted_stats,
     "weighted_combine": q_weighted_combine,
     "threshold_curve": q_threshold_curve,
@@ -2320,6 +2399,7 @@ ORACLES = {
     "repetition_stats": SQL_REPETITION_STATS,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sequence_packing": SQL_SEQUENCE_PACKING,
+    "sequence_packing_bpe": SQL_SEQUENCE_PACKING_BPE,
     "skew_salted_stats": SQL_SKEW_SALTED_STATS,
     "weighted_combine": SQL_WEIGHTED_COMBINE,
     "threshold_curve": SQL_THRESHOLD_CURVE,

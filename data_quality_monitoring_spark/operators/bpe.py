@@ -1,0 +1,130 @@
+"""Tokenizer-faithful token counting: a frozen seeded BPE vocabulary.
+
+Packing budgets at 100 TB are set in *tokenizer* tokens, not whitespace
+words — a corpus packed on whitespace counts over/under-fills every 2048-
+token sequence once a real tokenizer splits rare words into pieces.  This
+module supplies that tier without shipping a third-party tokenizer:
+
+* **Training** (`train_bpe_pieces`) is classic byte-pair encoding over a
+  word-frequency table: repeatedly merge the most frequent adjacent symbol
+  pair (ties broken lexicographically, so training is fully deterministic).
+  The artifact is the resulting *piece inventory* (single characters +
+  merge products), frozen from the seeded clean corpus like every other
+  artifact (`artifacts.get_bpe_pieces`).
+* **Inference** (`bpe_token_count`) is greedy longest-match-first over the
+  piece inventory — WordPiece-style, the standard deterministic inference
+  for a fixed subword vocab (BERT does exactly this).  Greedy matching is
+  a pure function of (word, piece set); DuckDB can replay it with a
+  recursive CTE over an embedded VALUES piece table, which is what lets
+  the BPE-budget packing contract query be fully oracled.
+* Unknown characters consume one piece each (never fails, never drops
+  text), so any input tokenizes.
+
+Scale shape: the piece inventory is tiny (hundreds of strings) and rides
+in the UDF closure; counting is one Arrow pass with a per-batch word→count
+cache, so the per-doc cost is O(new distinct words), exactly how a real
+tokenizer's trie behaves.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_WS_CHARS = " \t\n\r\f\x0b"
+
+
+def _words(text: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(r"[ \t\n\r\f\x0b]+", text.lower()) if w]
+
+
+def train_bpe_pieces(texts: list[str], n_merges: int = 200) -> list[str]:
+    """BPE training → the piece inventory, deterministically.
+
+    Returns single characters + every merge product, sorted longest-first
+    (the order greedy matching probes them in)."""
+    wf: Counter = Counter()
+    for t in texts:
+        wf.update(_words(t))
+    seqs = {w: list(w) for w in wf}
+    pieces = {c for w in wf for c in w}
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, f in wf.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        top = max(pairs.values())
+        a, b = min(p for p, c in pairs.items() if c == top)
+        merged = a + b
+        pieces.add(merged)
+        for w, s in seqs.items():
+            i, out = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return sorted(pieces, key=lambda p: (-len(p), p))
+
+
+def greedy_piece_count(word: str, piece_set: set[str], max_len: int) -> int:
+    """Pieces consumed by greedy longest-match-first (≥1 char per step)."""
+    pos, n = 0, 0
+    L = len(word)
+    while pos < L:
+        size = min(max_len, L - pos)
+        while size > 1 and word[pos : pos + size] not in piece_set:
+            size -= 1
+        pos += size
+        n += 1
+    return n
+
+
+def bpe_token_count(text: Column, pieces: list[str]) -> Column:
+    """Per-document BPE token count as one Arrow pass.
+
+    NULL for null text; 0 for whitespace-only (mirrors textstats
+    token_count semantics so packing filters behave identically)."""
+    piece_set = frozenset(pieces)
+    max_len = max((len(p) for p in pieces), default=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def _count(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def doc(t):
+            if t is None:
+                return None
+            total = 0
+            for w in _words(t):
+                n = cache.get(w)
+                if n is None:
+                    n = greedy_piece_count(w, piece_set, max_len)
+                    cache[w] = n
+                total += n
+            return total
+
+        return texts.map(doc).astype("Int32")
+
+    return _count(text)
+
+
+def pieces_values_sql(pieces: list[str]) -> str:
+    """The piece inventory as a DuckDB VALUES table ``(p, l)`` for the
+    recursive-CTE greedy-match oracle (single quotes escaped)."""
+    rows = ", ".join(
+        "('" + p.replace("'", "''") + "', " + str(len(p)) + ")" for p in pieces
+    )
+    return f"(VALUES {rows})"

@@ -104,3 +104,43 @@ def test_packing_oracle_parity_on_boundary_whitespace(spark, tmp_path):
     assert list(got.total_tokens) == list(want.total_tokens)
     assert list(got.n_docs) == list(want.n_docs)
     assert list(got.min_doc) == list(want.min_doc)
+
+
+def test_bpe_train_and_greedy_count():
+    from data_quality_monitoring_spark.operators.bpe import (
+        greedy_piece_count,
+        train_bpe_pieces,
+    )
+
+    pieces = train_bpe_pieces(["aa ab aa ab aa", "aa b aa"], n_merges=3)
+    assert "aa" in pieces  # most frequent pair merges first
+    assert pieces == train_bpe_pieces(["aa ab aa ab aa", "aa b aa"], n_merges=3)
+    ps, ml = frozenset(pieces), max(len(p) for p in pieces)
+    assert greedy_piece_count("aa", ps, ml) == 1
+    assert greedy_piece_count("aaa", ps, ml) == 2  # aa + a
+    assert greedy_piece_count("zzz", ps, ml) == 3  # unseen chars: 1 each
+
+
+def test_bpe_token_count_column(spark):
+    from data_quality_monitoring_spark.operators.bpe import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "aa aaa zz"), (2, None), (3, "   ")], "id long, text string"
+    )
+    out = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", bpe_token_count(F.col("text"), ["aa", "a", "z"]).alias("n")
+        ).collect()
+    }
+    assert out[1] == 1 + 2 + 2  # aa | aa+a | z+z
+    assert out[2] is None and out[3] == 0
+
+
+def test_bpe_frozen_artifact_deterministic():
+    from data_quality_monitoring_spark.artifacts import get_bpe_pieces
+    from data_quality_monitoring_spark.operators.bpe import train_bpe_pieces
+    from data_quality_monitoring_spark.artifacts import training_texts, LANGS
+
+    texts = [t for lang in LANGS for t in training_texts(lang, 50)]
+    assert tuple(train_bpe_pieces(texts, n_merges=200)) == get_bpe_pieces()
