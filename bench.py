@@ -33,9 +33,13 @@ HEADLINE = [
     "dedup_jaccard",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_substring",  # ExactSubstr window-coverage dedup (round 3)
     "line_dedup",
     "decontamination",
     "sequence_packing",
+    "sequence_packing_bpe",  # tokenizer-faithful budgets (round 3)
+    "langid_scores",  # in-query distributed NB train + Arrow score (round 3)
+    "perplexity_scores",  # in-query distributed bigram-LM train + score (round 3)
     "embedding_near_dup",
     "repetition_stats",
     "normalize_unicode",

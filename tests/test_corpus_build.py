@@ -167,3 +167,64 @@ def test_incremental_dedup_review_regressions(spark, tmp_path):
     # regardless of which edges clear the 0.7 bar, at most min-key chains
     # survive; with A~B and B~C verified the component keeps c3/1 only
     assert "c3/1" in urls3 and len(urls3) <= 2
+
+
+def _sig_batch(spark, i):
+    rows = []
+    for j in range(40):
+        rows.append(
+            (f"u{i}_{j}", f"doc {i} {j} " + " ".join(f"w{(j + t) % 7}" for t in range(30)))
+        )
+    # identical text in every batch: exact-dup against the store
+    rows.append((f"dup{i}", "same same " + " ".join(f"x{t}" for t in range(30))))
+    return spark.createDataFrame(rows, "url string, text_scrubbed string")
+
+
+def test_bucketed_sigstore_matches_parquet(spark, tmp_path):
+    """BucketedSigStore is a pure layout change: batch-by-batch results are
+    identical to the parquet store, including after census compaction."""
+    import uuid
+
+    from data_quality_monitoring_spark.plans.corpus import incremental_dedup
+    from data_quality_monitoring_spark.sources.sigstore import BucketedSigStore
+
+    b_store = BucketedSigStore("sigb_" + uuid.uuid4().hex[:8])
+    p_path = str(tmp_path / "sig")
+    for i in range(3):
+        ap, sp = incremental_dedup(spark, _sig_batch(spark, i), p_path)
+        ab, sb = incremental_dedup(spark, _sig_batch(spark, i), b_store)
+        assert sp == sb
+        assert sorted(r.url for r in ap.collect()) == sorted(r.url for r in ab.collect())
+    b_store.compact_census(spark)
+    ap, sp = incremental_dedup(spark, _sig_batch(spark, 3), p_path)
+    ab, sb = incremental_dedup(spark, _sig_batch(spark, 3), b_store)
+    assert sp == sb
+    assert sorted(r.url for r in ap.collect()) == sorted(r.url for r in ab.collect())
+
+
+def test_bucketed_sigstore_store_side_no_exchange(spark):
+    """The layout's point: the store side of each join arrives pre-
+    partitioned, so joining a batch against it adds no store-side shuffle."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.plans.corpus import incremental_dedup
+    from data_quality_monitoring_spark.sources.bucketed import count_exchanges
+    from data_quality_monitoring_spark.sources.sigstore import BucketedSigStore
+
+    store = BucketedSigStore("sigx_" + uuid.uuid4().hex[:8])
+    incremental_dedup(spark, _sig_batch(spark, 0), store)
+    batch_hashes = spark.range(5).select(F.md5(F.col("id").cast("string")).alias("content_hash"))
+    # disable broadcast so the shuffle structure (not BHJ) is under test
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = store.hashes(spark).join(batch_hashes, "content_hash")
+        n_bucketed = count_exchanges(joined)
+        assert "Bucketed: true" in joined._jdf.queryExecution().executedPlan().toString()
+        unbucketed = store.hashes(spark).localCheckpoint(eager=True)
+        n_plain = count_exchanges(unbucketed.join(batch_hashes, "content_hash"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert (n_bucketed, n_plain) == (1, 2)  # the store-side Exchange is gone
