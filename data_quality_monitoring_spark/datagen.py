@@ -171,14 +171,20 @@ def make_page(doc_id: int) -> dict:
     return {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": lang}
 
 
-def generate_pages(spark: SparkSession, n_docs: int, partitions: int = 32) -> DataFrame:
-    """Distributed deterministic corpus: spark.range → mapInPandas (no shuffle)."""
+def generate_pages(
+    spark: SparkSession, n_docs: int, partitions: int = 32, id_offset: int = 0
+) -> DataFrame:
+    """Distributed deterministic corpus: spark.range → mapInPandas (no
+    shuffle).  ``id_offset`` yields a disjoint doc-id range — a "new crawl
+    dump" for incremental-dedup benchmarks."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame([make_page(int(i)) for i in pdf["id"]])
 
-    return spark.range(0, n_docs, numPartitions=partitions).mapInPandas(gen, PAGES_SCHEMA)
+    return spark.range(
+        id_offset, id_offset + n_docs, numPartitions=partitions
+    ).mapInPandas(gen, PAGES_SCHEMA)
 
 
 def generate_pages_pandas(n_docs: int) -> pd.DataFrame:

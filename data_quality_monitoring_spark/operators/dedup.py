@@ -130,6 +130,50 @@ def lsh_candidate_pairs(
     )
 
 
+def signature_prefilter(
+    sig: DataFrame,
+    pairs: DataFrame,
+    key: str,
+    n_hashes: int = 8,
+    min_est: float = 0.375,
+) -> DataFrame:
+    """Minhash-agreement prefilter between LSH banding and exact verify.
+
+    est-J(a, b) = (# equal minhashes) / n_hashes is an unbiased Jaccard
+    estimate already sitting in the signature table; filtering candidate
+    pairs on it is a NARROW join (n_hashes longs per side) that runs before
+    the expensive shingle-array verify join.  The corpus-curve profile
+    showed candidate volume is the one superlinear term on low-entropy
+    corpora (tiny shared vocabularies give random doc pairs J ≈ 0.2–0.3,
+    so banding false-positives grow ~quadratically); this cuts the pairs
+    the verify stage must carry shingle arrays for.
+
+    RECALL TRADEOFF — deliberately opt-in (``build_corpus`` default off):
+    a true pair at exactly J = 0.7 has P(fewer than ⌈min_est·n⌉ of 8
+    hashes agree) ≈ 1.1% at the default min_est = 3/8, ≈ 5.8% at 4/8.
+    Verification stays exact for every surviving pair, so precision is
+    unaffected.  Use where candidate volume, not the last percent of
+    borderline recall, is the binding constraint."""
+    arr = F.array(*[F.col(f"h{i}") for i in range(n_hashes)])
+    s = sig.select(F.col(key), arr.alias("_s"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / n_hashes
+    )
+    return (
+        pairs.join(
+            s.withColumnRenamed(key, "a").withColumnRenamed("_s", "_sa"), "a"
+        )
+        .join(s.withColumnRenamed(key, "b").withColumnRenamed("_s", "_sb"), "b")
+        .filter(est >= F.lit(min_est))
+        .select("a", "b")
+    )
+
+
 def cap_shingle_df(sh: DataFrame, cap: int, shingle_col: str = "shingle") -> DataFrame:
     """Drop shingles with document frequency > cap from an exploded
     (doc, shingle) table — the standard boilerplate guard before any
@@ -600,8 +644,12 @@ def substring_dedup(
     """
     # ASCII-ws split + drop-empties == Python str.split() on ASCII text and
     # the oracle's list_filter(regexp_split_to_array(...)) exactly (Java \s
-    # is the ASCII class [ \t\n\x0B\f\r])
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    # is the ASCII class [ \t\n\x0B\f\r]); null text → zero tokens (a null
+    # array would make F.size return -1 downstream)
+    toks = F.coalesce(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
+        F.array().cast("array<string>"),
+    )
     base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
 
     n = F.size("_toks")

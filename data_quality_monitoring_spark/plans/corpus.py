@@ -41,11 +41,19 @@ def build_corpus(
     jaccard_threshold: float = 0.7,
     sample_rates: dict[str, float] | None = None,
     default_rate: float = 1.0,
+    min_est_jaccard: float | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (corpus_df[url, lang, text_scrubbed], stage-counts dict).
 
     Stage counts come from the cached intermediates the next stage consumes
-    (docs_in is a parquet metadata count — no data scan)."""
+    (docs_in is a parquet metadata count — no data scan).
+
+    ``min_est_jaccard`` (opt-in) inserts the minhash-agreement prefilter
+    between banding and exact verify — the guard for low-entropy corpora
+    where banding false-positive pairs grow superlinearly (see
+    operators/dedup.signature_prefilter for the recall math)."""
+    from ..operators.dedup import signature_prefilter
+
     filtered = quality_filter(spark, pages)
     kept = (
         filtered.filter(F.col("keep"))
@@ -60,6 +68,8 @@ def build_corpus(
 
     sig = minhash_signatures(deduped, "url", "text_scrubbed")
     cand = lsh_candidate_pairs(sig, "url")
+    if min_est_jaccard is not None:
+        cand = signature_prefilter(sig, cand, "url", min_est=min_est_jaccard)
     pairs = jaccard_verify(deduped, cand, "url", "text_scrubbed", jaccard_threshold)
     comp = connected_components(pairs, "a", "b")
     losers = comp.filter(F.col("node") != F.col("component")).select(

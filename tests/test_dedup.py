@@ -249,3 +249,29 @@ def test_embedding_lsh_hot_bucket_cap(spark):
         map(tuple, embedding_near_dup_pairs(rnd, "vec_id", max_bucket=100).collect())
     )
     assert uncapped == capped2
+
+
+def test_signature_prefilter(spark):
+    """est-J prefilter keeps genuinely similar candidate pairs and drops
+    band-collision false positives without touching shingle arrays."""
+    from data_quality_monitoring_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        signature_prefilter,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(38)) + " other words"
+    docs = spark.createDataFrame(
+        [("a", base), ("b", near), ("c", "totally different text " * 10)],
+        "url string, text string",
+    )
+    sig = minhash_signatures(docs, "url", "text")
+    # hand-planted candidate list: the true near-dup pair + a junk pair
+    pairs = spark.createDataFrame([("a", "b"), ("a", "c")], "a string, b string")
+    kept = {(r["a"], r["b"]) for r in signature_prefilter(sig, pairs, "url").collect()}
+    assert ("a", "b") in kept and ("a", "c") not in kept
+    # surviving pairs still verify exactly
+    verified = jaccard_verify(docs, lsh_candidate_pairs(sig, "url"), "url", "text", 0.7)
+    assert {(r["a"], r["b"]) for r in verified.select("a", "b").collect()} == {("a", "b")}

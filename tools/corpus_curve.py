@@ -7,8 +7,10 @@ The question this answers: which stage owns the superlinear tail as the
 synthetic near-dup junk families grow with N, and does the LSH bucket cap
 keep the candidate/verify stages near-linear.
 
-Usage: python tools/corpus_curve.py [sizes_csv] [cpus] [max_bucket]
+Usage: python tools/corpus_curve.py [sizes_csv] [cpus] [max_bucket] [min_est]
        e.g. python tools/corpus_curve.py 1000000,2000000,4000000,8000000 32 500
+       min_est (optional, e.g. 0.375) enables the signature prefilter
+       between banding and verify (operators/dedup.signature_prefilter).
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ def main() -> None:
     sizes = [int(s) for s in (sys.argv[1] if len(sys.argv) > 1 else "1000000").split(",")]
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     max_bucket = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+    min_est = float(sys.argv[4]) if len(sys.argv) > 4 else None
 
     from data_quality_monitoring_spark.datagen import generate_pages
     from data_quality_monitoring_spark.operators.dedup import (
@@ -34,6 +37,7 @@ def main() -> None:
         jaccard_verify,
         lsh_candidate_pairs,
         minhash_signatures,
+        signature_prefilter,
     )
     from data_quality_monitoring_spark.plans.pipeline import quality_filter
     from data_quality_monitoring_spark.session import get_spark
@@ -70,6 +74,8 @@ def main() -> None:
         cand = stage(
             "lsh_candidates", lsh_candidate_pairs(sig, "url", max_bucket=max_bucket)
         )
+        if min_est is not None:
+            cand = stage("sig_prefilter", signature_prefilter(sig, cand, "url", min_est=min_est))
         sig.unpersist()
         pairs = stage(
             "jaccard_verify", jaccard_verify(deduped, cand, "url", "text_scrubbed", 0.7)
