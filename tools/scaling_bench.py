@@ -121,29 +121,11 @@ def main() -> None:
     pair_lines = "\n".join(
         f"- **{k.replace('to', ' → ')} cores: {v:.3f}**" for k, v in pairs.items()
     )
-    (REPO / "BENCH.md").write_text(
-        "# BENCH — throughput + scaling efficiency\n\n"
-        "Full quality-filter pipeline (rules + pattern + langid + perplexity\n"
-        "→ priority verdict → PII scrub) over the deterministic synthetic\n"
-        "corpus; identical input at every parallelism level; one JVM per\n"
-        "measurement, CPU-pinned (taskset), warm-up pass excluded, best of\n"
-        "three timed passes, best of N subprocess trials.\n\n"
-        f"| config | docs | wall (s) | docs/sec |\n|---|---|---|---|\n{rows}\n\n"
-        f"Scaling efficiency, (T_N / T_4N) / 4 (target ≥ 0.8 per BASELINE.json):\n\n"
-        f"{pair_lines}\n\n"
-        "Interpretation: all pipeline stages are shuffle-free and\n"
-        "embarrassingly parallel (PLANS.md: 0 Exchanges in the hot path).\n"
-        "The 2→8 pair measures the regime a multi-node cluster lives in —\n"
-        "each node brings its own memory bus, so per-executor bandwidth is\n"
-        "constant as executors are added. The 8→32 pair additionally\n"
-        "saturates this single box's shared memory bandwidth (and this\n"
-        "sandbox VM shows 10–25% bursty hypervisor steal), which a real\n"
-        "N→4N *executor* scale-out does not do; it is the pessimistic bound.\n\n"
-        "Reference baseline (BASELINE.md): the reference's rule-validation\n"
-        "path alone runs ~1k records/s/core single-process; this pipeline\n"
-        "runs all four detector families + scrub end-to-end at ~1.9k\n"
-        "docs/s/core.\n\n"
-        "Reproduce: `python tools/scaling_bench.py 1000000 2 2 8 32`.\n"
+    # Sidecar, NOT BENCH.md: that file carries curated round analysis the
+    # template would clobber — merge these numbers into it by hand.
+    (REPO / "BENCH_ladder.json").write_text(
+        json.dumps({"n_docs": n_docs, "pairs": pairs, "levels": results}, indent=2)
+        + "\n"
     )
 
 
