@@ -187,3 +187,41 @@ def test_scrub_triple_parity_fuzz(spark, values):
     con.register("t", pd.DataFrame({"i": range(len(values)), "t": pd.Series(values, dtype="object")}))
     sql = [r[0] for r in con.execute(f"SELECT {scrub_sql('t')} FROM t ORDER BY i").fetchall()]
     assert native == python == sql
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcde", min_size=1, max_size=6), min_size=1, max_size=12),
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=20),
+)
+def test_bpe_greedy_match_duckdb_parity_fuzz(pieces, words):
+    """Python greedy longest-match == the recursive-CTE greedy matcher the
+    sequence_packing_bpe oracle embeds — on arbitrary piece inventories and
+    words (including chars absent from every piece: 1-piece-per-char
+    fallback)."""
+    import duckdb
+
+    from data_quality_monitoring_spark.operators.bpe import (
+        greedy_piece_count,
+        pieces_values_sql,
+    )
+
+    piece_set = frozenset(pieces)
+    max_len = max(len(p) for p in piece_set)
+    py = {w: greedy_piece_count(w, piece_set, max_len) for w in set(words)}
+    con = duckdb.connect()
+    con.register("w", pd.DataFrame({"w": sorted(set(words))}))
+    sql = f"""
+WITH RECURSIVE pieces(p, l) AS (SELECT * FROM {pieces_values_sql(sorted(piece_set))}),
+seg(w, pos, n) AS (
+  SELECT w, 1, 0 FROM w
+  UNION ALL
+  SELECT w,
+         pos + coalesce((SELECT max(l) FROM pieces WHERE p = substr(seg.w, seg.pos, l)), 1),
+         n + 1
+  FROM seg WHERE pos <= length(w)
+)
+SELECT w, max(n) FROM seg GROUP BY w
+"""
+    duck = dict(con.execute(sql).fetchall())
+    assert py == duck
