@@ -26,6 +26,7 @@ from data_quality_monitoring_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "pipeline_verdict",  # flagship: full quality filter (rules+pattern+ml+llm+scrub)
     "pipeline_rules_verdict",  # oracled flagship slice (validation+pattern)
+    "pipeline_verdict_full",  # FULL 4-family flagship, oracled (round 3)
     "rule_firsthit",
     "extract_text",  # html→text, pure codegen chain
     "scrub_pii",

@@ -2315,12 +2315,165 @@ FROM pf
 """
 
 
+def q_pipeline_verdict_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE 4-family flagship, FULLY ORACLED: rules + pattern +
+    langid(ML) + perplexity(LLM) findings, per-method thresholds, the
+    priority combiner and the keep bit — through the REAL quality_filter
+    plan (one select, two Arrow hops, zero shuffles), with the
+    SQL-reproducible in-query-trained models injected via
+    quality_filter(langid_model=..., bigram_models=...).  DuckDB
+    recomputes everything: rule chain, pattern detector, NB posteriors,
+    bigram NLLs, threshold gates and the coalesce.  (`pipeline_verdict`
+    stays as the artifact-backed production form, rows-only.)  Verdict
+    threshold margins on this corpus are ≥0.05 in score space, so the
+    1e-13-level fp differences between engines cannot flip a gate."""
+    import numpy as np
+
+    from .operators.langid import train_langid_distributed
+    from .operators.perplexity import train_bigram_distributed
+    from .plans.pipeline import quality_filter
+
+    d = _read(spark, sf_dir, "documents")
+    train = d.filter(F.col("n_chars") >= 300)
+    lm = train_langid_distributed(train, feat="word_md5", dtype=np.float64)
+    bm = train_bigram_distributed(train, max_vocab=1_000_000)
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    res = quality_filter(spark, pages, langid_model=lm, bigram_models=bm)
+    return res.select(
+        "url",
+        "keep",
+        F.col("verdict.method").alias("method"),
+        F.col("verdict.code").alias("code"),
+        F.round("verdict.probability", 6).alias("probability"),
+    )
+
+
+def _pipeline_verdict_full_sql() -> str:
+    rules_ctes = SQL_PIPELINE_RULES_VERDICT.split("\nSELECT url,")[0]
+    return (
+        rules_ctes
+        + f""",
+nbtr AS (
+  SELECT lang, {_PYWORDS_SQL.format(c="text")} AS toks
+  FROM documents WHERE n_chars >= 300 AND lang IS NOT NULL
+), nbtw AS (
+  SELECT lang, {_MD5_BUCKET_SQL.format(w="w")} AS b
+  FROM (SELECT lang, unnest(toks) AS w FROM nbtr)
+), nbcnt AS (SELECT lang, b, count(*)::DOUBLE AS c FROM nbtw GROUP BY lang, b),
+nbtot AS (SELECT lang, count(*)::DOUBLE AS t FROM nbtw GROUP BY lang),
+nbpri AS (
+  SELECT lang, ln(nd / sum(nd) OVER ()) AS lp
+  FROM (SELECT lang, count(*)::DOUBLE AS nd FROM nbtr GROUP BY lang)
+), nbdb AS (
+  SELECT doc_id, {_MD5_BUCKET_SQL.format(w="w")} AS b, count(*)::DOUBLE AS n
+  FROM (SELECT doc_id, unnest({_PYWORDS_SQL.format(c="text")}) AS w FROM documents)
+  GROUP BY doc_id, b
+), nblp AS (
+  SELECT nbdb.doc_id, nbpri.lang,
+         any_value(nbpri.lp)
+         + sum(nbdb.n * (ln(coalesce(nbcnt.c, 0) + 0.5) - ln(nbtot.t + 0.5 * 16384))) AS logp
+  FROM nbdb
+  CROSS JOIN nbpri
+  JOIN nbtot ON nbtot.lang = nbpri.lang
+  LEFT JOIN nbcnt ON nbcnt.lang = nbpri.lang AND nbcnt.b = nbdb.b
+  GROUP BY nbdb.doc_id, nbpri.lang
+), nbpost AS (
+  SELECT doc_id, lang, e / sum(e) OVER (PARTITION BY doc_id) AS p
+  FROM (SELECT doc_id, lang,
+               exp(logp - max(logp) OVER (PARTITION BY doc_id)) AS e
+        FROM nblp)
+), cs AS (
+  SELECT d.doc_id,
+         CASE WHEN sc.doc_id IS NULL THEN NULL
+              ELSE coalesce(np.p, 0.0) END AS cs
+  FROM documents d
+  LEFT JOIN (SELECT DISTINCT doc_id FROM nbpost) sc ON sc.doc_id = d.doc_id
+  LEFT JOIN nbpost np ON np.doc_id = d.doc_id AND np.lang = d.lang
+),
+pltrb AS (
+  SELECT lang, CASE WHEN pos = 1 THEN '<s>' ELSE toks[pos - 1] END AS prev, toks[pos] AS cur
+  FROM (SELECT lang, toks, generate_subscripts(toks, 1) AS pos FROM nbtr)
+), plbi AS (SELECT lang, prev, cur, count(*)::DOUBLE AS c FROM pltrb GROUP BY lang, prev, cur),
+plctx AS (SELECT lang, prev, count(*)::DOUBLE AS c FROM pltrb GROUP BY lang, prev),
+plwrd AS (SELECT lang, cur, count(*)::DOUBLE AS c FROM pltrb GROUP BY lang, cur),
+plnt AS (SELECT lang, count(*)::DOUBLE AS n FROM pltrb GROUP BY lang),
+plsc AS (
+  SELECT doc_id, {_PYWORDS_SQL.format(c="text")} AS toks,
+         CASE WHEN lang IN (SELECT lang FROM nbtr) THEN lang ELSE 'en' END AS g
+  FROM documents
+), plscb AS (
+  SELECT doc_id, g, len(toks) AS n_toks,
+         CASE WHEN pos = 1 THEN '<s>' ELSE toks[pos - 1] END AS prev, toks[pos] AS cur
+  FROM (SELECT doc_id, g, toks, generate_subscripts(toks, 1) AS pos FROM plsc)
+), pltok AS (
+  SELECT plscb.doc_id, plscb.n_toks,
+         -ln(0.7 * (CASE WHEN coalesce(plctx.c, 0) > 0
+                         THEN coalesce(plbi.c, 0) / plctx.c ELSE 0.0 END)
+             + (1.0 - 0.7) * ((coalesce(plwrd.c, 0) + 0.5) / (plnt.n + 0.5 * 10000))) AS nll
+  FROM plscb
+  JOIN plnt ON plnt.lang = plscb.g
+  LEFT JOIN plbi  ON plbi.lang = plscb.g AND plbi.prev = plscb.prev AND plbi.cur = plscb.cur
+  LEFT JOIN plctx ON plctx.lang = plscb.g AND plctx.prev = plscb.prev
+  LEFT JOIN plwrd ON plwrd.lang = plscb.g AND plwrd.cur = plscb.cur
+), ppl AS (
+  SELECT d.doc_id, s.ppl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, sum(nll) / any_value(n_toks) AS ppl FROM pltok GROUP BY doc_id) s
+    ON s.doc_id = d.doc_id
+),
+mlf AS (
+  SELECT doc_id,
+         CASE WHEN cs IS NOT NULL AND cs < 0.7
+              THEN least(greatest(1.0 - cs, 0.0), 0.99) END AS ml_prob
+  FROM cs
+), llf AS (
+  SELECT doc_id,
+         CASE WHEN ppl IS NOT NULL AND ppl > 6.0
+              THEN least(ppl / 10.0, 1.0) END AS llm_prob
+  FROM ppl
+), allf AS (
+  SELECT pf.url, pf.vf, pf.pp,
+         CASE WHEN mlf.ml_prob >= 0.7 THEN mlf.ml_prob END AS ml_prob,
+         CASE WHEN llf.llm_prob >= 0.6 THEN llf.llm_prob END AS llm_prob
+  FROM pf
+  JOIN mlf ON pf.url = 'doc://' || mlf.doc_id::VARCHAR
+  JOIN llf ON pf.url = 'doc://' || llf.doc_id::VARCHAR
+)
+SELECT url,
+       (vf IS NULL AND pp IS NULL AND ml_prob IS NULL AND llm_prob IS NULL) AS keep,
+       CASE WHEN vf IS NOT NULL THEN 'validation'
+            WHEN pp IS NOT NULL THEN 'pattern'
+            WHEN ml_prob IS NOT NULL THEN 'ml'
+            WHEN llm_prob IS NOT NULL THEN 'llm' END AS method,
+       CASE WHEN vf IS NOT NULL THEN vf[1]
+            WHEN pp IS NOT NULL THEN pp[1]
+            WHEN ml_prob IS NOT NULL THEN 'LANG_MISMATCH'
+            WHEN llm_prob IS NOT NULL THEN 'HIGH_PERPLEXITY' END AS code,
+       round(CASE WHEN vf IS NOT NULL THEN vf[3]::DOUBLE
+                  WHEN pp IS NOT NULL THEN pp[3]::DOUBLE
+                  WHEN ml_prob IS NOT NULL THEN ml_prob
+                  WHEN llm_prob IS NOT NULL THEN llm_prob END, 6) AS probability
+FROM allf
+"""
+    )
+
+
+SQL_PIPELINE_VERDICT_FULL = _pipeline_verdict_full_sql()
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
     # Flagship first: VERDICT r2 noted the driver emitted exactly 50 rows and
     # pipeline_verdict (then entry 51 of 51) got no CORRECTNESS row at all.
     "pipeline_verdict": q_pipeline_verdict,
+    "pipeline_verdict_full": q_pipeline_verdict_full,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
     "keyword_check": q_keyword_check,
@@ -2405,6 +2558,7 @@ ORACLES = {
     "threshold_curve": SQL_THRESHOLD_CURVE,
     "confusion_matrix": SQL_CONFUSION_MATRIX,
     "pipeline_rules_verdict": SQL_PIPELINE_RULES_VERDICT,
+    "pipeline_verdict_full": SQL_PIPELINE_VERDICT_FULL,
     "lang_heuristic": SQL_LANG_HEURISTIC,
     "quality_score": SQL_QUALITY_SCORE,
     "score_histogram": SQL_SCORE_HISTOGRAM,

@@ -54,6 +54,8 @@ def quality_filter(
     regex_engine: str = "auto",
     with_all_findings: bool = False,
     methods: list[str] | None = None,
+    langid_model=None,
+    bigram_models=None,
 ) -> DataFrame:
     """Attach findings, verdict, keep flag and scrubbed text to a pages df.
 
@@ -64,6 +66,10 @@ def quality_filter(
     reference's capability probing (``comprehensive_detector.py:222-260``)
     as plan pruning: a disabled model scorer never even adds its pandas-UDF
     stage.
+
+    ``langid_model`` / ``bigram_models`` override the frozen artifacts —
+    used by the fully-oracled flagship contract query, which injects
+    SQL-reproducible in-query-trained models through the SAME plan.
     """
     rules = rules if rules is not None else default_rules()
     pattern_cfg = pattern_cfg if pattern_cfg is not None else default_pattern_cfg()
@@ -76,9 +82,13 @@ def quality_filter(
     if "pattern" in methods:
         cols["f_pattern"] = pattern_finding(lang, pattern_cfg)
     if "ml" in methods:
-        cols["langid"] = L.langid_struct(spark, get_langid_model(), text, lang)
+        cols["langid"] = L.langid_struct(
+            spark, langid_model if langid_model is not None else get_langid_model(), text, lang
+        )
     if "llm" in methods:
-        cols["ppl_score"] = P.perplexity_column(spark, get_bigram_models(), text, lang)
+        cols["ppl_score"] = P.perplexity_column(
+            spark, bigram_models if bigram_models is not None else get_bigram_models(), text, lang
+        )
     if "quality_model" in methods:  # opt-in learned quality tier
         from ..artifacts import get_quality_model
         from ..operators import quality_model as QM
