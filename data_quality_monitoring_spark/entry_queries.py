@@ -2470,50 +2470,55 @@ SQL_PIPELINE_VERDICT_FULL = _pipeline_verdict_full_sql()
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
-    # Flagship first: VERDICT r2 noted the driver emitted exactly 50 rows and
-    # pipeline_verdict (then entry 51 of 51) got no CORRECTNESS row at all.
+    # Order matters: CORRECTNESS_r02 recorded exactly 50 rows for 51
+    # queries, so the driver appears to cap the battery — keep the
+    # flagship + distinctive operators first and the generic TPC-H /
+    # window warm-ups last, where a cap can only drop redundant coverage.
     "pipeline_verdict": q_pipeline_verdict,
     "pipeline_verdict_full": q_pipeline_verdict_full,
+    "pipeline_rules_verdict": q_pipeline_rules_verdict,
+    "langid_scores": q_langid_scores,
+    "quality_model_scores": q_quality_model_scores,
+    "perplexity_scores": q_perplexity_scores,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
     "keyword_check": q_keyword_check,
     "pattern_lang": q_pattern_lang,
     "lang_distribution": q_lang_distribution,
     "scrub_pii": q_scrub_pii,
-    "profile_value_counts": q_profile_value_counts,
-    "profile_stats": q_profile_stats,
-    "profile_quantiles": q_profile_quantiles,
+    "extract_text": q_extract_text,
+    "normalize_unicode": q_normalize_unicode,
+    "multifield_cells": q_multifield_cells,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_substring": q_dedup_substring,
     "line_dedup": q_line_dedup,
-    "normalize_unicode": q_normalize_unicode,
     "decontamination": q_decontamination,
+    "embedding_near_dup": q_embedding_near_dup,
     "similarity_topk": q_similarity_topk,
+    "ann_ivf": q_ann_ivf,
     "centroid_similarity": q_centroid_similarity,
-    "token_stats": q_token_stats,
-    "repetition_stats": q_repetition_stats,
-    "sample_stratified": q_sample_stratified,
     "sequence_packing": q_sequence_packing,
     "sequence_packing_bpe": q_sequence_packing_bpe,
-    "skew_salted_stats": q_skew_salted_stats,
+    "sample_stratified": q_sample_stratified,
+    "token_stats": q_token_stats,
+    "token_bpeish": q_token_bpeish,
+    "repetition_stats": q_repetition_stats,
+    "fingerprint": q_fingerprint,
+    "lang_heuristic": q_lang_heuristic,
+    "quality_score": q_quality_score,
+    "multimodal_meta": q_multimodal_meta,
     "weighted_combine": q_weighted_combine,
     "threshold_curve": q_threshold_curve,
     "confusion_matrix": q_confusion_matrix,
-    "pipeline_rules_verdict": q_pipeline_rules_verdict,
-    "lang_heuristic": q_lang_heuristic,
-    "quality_score": q_quality_score,
     "score_histogram": q_score_histogram,
-    "fingerprint": q_fingerprint,
-    "extract_text": q_extract_text,
-    "token_bpeish": q_token_bpeish,
-    "dedup_simhash": q_dedup_simhash,
-    "embedding_near_dup": q_embedding_near_dup,
-    "ann_ivf": q_ann_ivf,
-    "multimodal_meta": q_multimodal_meta,
-    "multifield_cells": q_multifield_cells,
+    "skew_salted_stats": q_skew_salted_stats,
+    "profile_value_counts": q_profile_value_counts,
+    "profile_stats": q_profile_stats,
+    "profile_quantiles": q_profile_quantiles,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_rollup": q_events_rollup,
@@ -2523,9 +2528,6 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "tpch_q1": q_tpch_q1,
     "revenue_by_nation": q_revenue_by_nation,
-    "langid_scores": q_langid_scores,
-    "quality_model_scores": q_quality_model_scores,
-    "perplexity_scores": q_perplexity_scores,
 }
 
 ORACLES = {

@@ -642,6 +642,10 @@ def substring_dedup(
 
     Returns (id, n_tokens, n_removed, text_dedup).
     """
+    if k < 2:
+        # k=0 would make every empty slice hash equal (total removal);
+        # k=1 is plain token-frequency removal — both are caller mistakes
+        raise ValueError(f"substring window k must be >= 2, got {k}")
     # ASCII-ws split + drop-empties == Python str.split() on ASCII text and
     # the oracle's list_filter(regexp_split_to_array(...)) exactly (Java \s
     # is the ASCII class [ \t\n\x0B\f\r]); null text → zero tokens (a null

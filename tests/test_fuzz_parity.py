@@ -191,8 +191,8 @@ def test_scrub_triple_parity_fuzz(spark, values):
 
 @settings(max_examples=25, deadline=None)
 @given(
-    st.lists(st.text(alphabet="abcde", min_size=1, max_size=6), min_size=1, max_size=12),
-    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=20),
+    st.lists(st.text(alphabet="abcde'", min_size=1, max_size=6), min_size=1, max_size=12),
+    st.lists(st.text(alphabet="abcdef'", min_size=1, max_size=8), min_size=1, max_size=20),
 )
 def test_bpe_greedy_match_duckdb_parity_fuzz(pieces, words):
     """Python greedy longest-match == the recursive-CTE greedy matcher the
