@@ -82,6 +82,25 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="incremental mode: parquet dir of the accepted corpus's "
         "minhash signatures (created on first batch, appended per batch)",
     )
+    p.add_argument(
+        "--store-layout", choices=["parquet", "bucketed"], default="parquet",
+        help="incremental mode: signature-store layout; 'bucketed' keeps "
+        "every store-side join pre-partitioned on its key "
+        "(sources/sigstore.BucketedSigStore — --sig-store is then the "
+        "catalog table prefix)",
+    )
+    p.add_argument(
+        "--min-est-jaccard", type=float, default=None,
+        help="corpus mode: opt-in minhash-agreement prefilter between LSH "
+        "banding and exact verify (operators/dedup.signature_prefilter) — "
+        "bounds candidate volume on low-entropy corpora",
+    )
+    p.add_argument(
+        "--substring-k", type=int, default=None,
+        help="corpus mode: after doc-level dedup, strip every token inside "
+        "a >= K-token span repeated anywhere in the corpus "
+        "(operators/dedup.substring_dedup, Lee et al. 2022 ExactSubstr)",
+    )
     return p.parse_args(argv)
 
 
@@ -169,7 +188,19 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
     corpus, stats = build_corpus(
         spark, pages, jaccard_threshold=args.jaccard_threshold,
         sample_rates=rates, default_rate=args.default_rate,
+        min_est_jaccard=getattr(args, "min_est_jaccard", None),
     )
+    k = getattr(args, "substring_k", None)
+    if k:  # ExactSubstr pass over the final corpus text
+        from ..operators.dedup import substring_dedup
+
+        sd = substring_dedup(corpus, text_col="text_scrubbed", id_col="url", k=k)
+        stats["substring_tokens_removed"] = int(
+            sd.agg(F.sum("n_removed")).first()[0] or 0
+        )
+        corpus = corpus.select("url", "lang").join(
+            sd.select("url", F.col("text_dedup").alias("text_scrubbed")), "url"
+        )
     corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
     Path(args.output, "corpus_stats.json").write_text(json.dumps(stats, indent=1))
     return stats
@@ -322,8 +353,14 @@ def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
     def write_corpus(accepted):
         accepted.write.mode("overwrite").parquet(f"{args.output}/corpus/batch={batch_id}")
 
+    if getattr(args, "store_layout", "parquet") == "bucketed":
+        from ..sources.sigstore import BucketedSigStore
+
+        store = BucketedSigStore(args.sig_store)
+    else:
+        store = args.sig_store
     accepted, stats = incremental_dedup(
-        spark, kept, args.sig_store, accepted_writer=write_corpus
+        spark, kept, store, accepted_writer=write_corpus
     )
     kept.unpersist()
     Path(args.output).mkdir(parents=True, exist_ok=True)

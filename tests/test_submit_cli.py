@@ -225,3 +225,53 @@ def test_cli_incremental_mode(spark, tmp_path):
     assert s2["accepted"] == 0 and s2["dropped"] == s1["accepted"]
     corpus = spark.read.parquet(f"{out}/corpus")
     assert corpus.count() == s1["accepted"]  # batch 2 added nothing
+
+
+def test_corpus_mode_substring_and_prefilter(spark, tmp_path):
+    """--substring-k strips corpus-wide repeated spans from the final text;
+    --min-est-jaccard threads through to the signature prefilter."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.plans.submit import run_corpus
+
+    in_dir = str(tmp_path / "in_ss")
+    out_dir = str(tmp_path / "corpus_ss")
+    boiler = " ".join(f"b{i}" for i in range(30))
+    pages = generate_pages(spark, 200, partitions=4).withColumn(
+        "text",
+        F.when(
+            F.pmod(F.xxhash64("url"), F.lit(3)) == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(boiler)),
+        ).otherwise(F.col("text")),
+    )
+    pages.write.parquet(in_dir)
+    args = build_args(
+        ["--mode", "corpus", "--input", in_dir, "--output", out_dir,
+         "--substring-k", "20", "--min-est-jaccard", "0.375"]
+    )
+    stats = run_corpus(spark, args)
+    assert stats["substring_tokens_removed"] >= 30  # the planted boilerplate
+    corpus = spark.read.parquet(f"{out_dir}/corpus")
+    assert corpus.filter(F.col("text_scrubbed").contains("b0 b1 b2")).count() == 0
+    assert corpus.count() == stats["final"]
+
+
+def test_cli_incremental_bucketed_layout(spark, tmp_path):
+    import uuid
+
+    from data_quality_monitoring_spark.plans.submit import run_incremental
+
+    prefix = "clisig_" + uuid.uuid4().hex[:8]
+    out_dir = str(tmp_path / "inc_out")
+    for i, n in enumerate((120, 120)):
+        in_dir = str(tmp_path / f"in_b{i}")
+        generate_pages(spark, n, partitions=4).write.parquet(in_dir)
+        args = build_args(
+            ["--mode", "incremental", "--input", in_dir, "--output", out_dir,
+             "--sig-store", prefix, "--store-layout", "bucketed"]
+        )
+        stats = run_incremental(spark, args)
+        assert stats["accepted"] <= stats["batch_in"]
+    # second identical batch is a full duplicate of the first: all dropped
+    assert stats["accepted"] == 0
+    assert spark.catalog.tableExists(f"{prefix}_sig")
