@@ -642,30 +642,7 @@ def substring_dedup(
 
     Returns (id, n_tokens, n_removed, text_dedup).
     """
-    if k < 2:
-        # k=0 would make every empty slice hash equal (total removal);
-        # k=1 is plain token-frequency removal — both are caller mistakes
-        raise ValueError(f"substring window k must be >= 2, got {k}")
-    # ASCII-ws split + drop-empties == Python str.split() on ASCII text and
-    # the oracle's list_filter(regexp_split_to_array(...)) exactly (Java \s
-    # is the ASCII class [ \t\n\x0B\f\r]); null text → zero tokens (a null
-    # array would make F.size return -1 downstream)
-    toks = F.coalesce(
-        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
-        F.array().cast("array<string>"),
-    )
-    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-
-    n = F.size("_toks")
-    starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        starts, lambda s: F.xxhash64(F.concat_ws(" ", F.slice("_toks", s, k)))
-    )
-    occ = base.select("_id", F.posexplode(grams).alias("_i", "_h")).select(
-        "_id", (F.col("_i") + 1).alias("_s"), "_h"
-    )
+    base, occ = _substr_base_occ(docs, text_col, id_col, k)
     # duplicated starts via ONE window count over the hash partition — the
     # groupBy+semi-join alternative shuffles the identical full stream by
     # _h for the join anyway AND recomputes the O(n·k) gram pass on the
@@ -681,6 +658,40 @@ def substring_dedup(
         .groupBy("_id")
         .agg(F.collect_list("_s").alias("_ds"))
     )
+    return _substr_rebuild(base, dup_starts, id_col, k)
+
+
+def _substr_base_occ(docs: DataFrame, text_col: str, id_col: str, k: int):
+    """Shared front half of the ExactSubstr operators: tokenized docs plus
+    the (id, start, gram-hash) occurrence stream (one row per position)."""
+    if k < 2:
+        # k=0 would make every empty slice hash equal (total removal);
+        # k=1 is plain token-frequency removal — both are caller mistakes
+        raise ValueError(f"substring window k must be >= 2, got {k}")
+    # ASCII-ws split + drop-empties == Python str.split() on ASCII text and
+    # the oracle's list_filter(regexp_split_to_array(...)) exactly (Java \s
+    # is the ASCII class [ \t\n\x0B\f\r]); null text → zero tokens (a null
+    # array would make F.size return -1 downstream)
+    toks = F.coalesce(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
+        F.array().cast("array<string>"),
+    )
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+    n = F.size("_toks")
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        starts, lambda s: F.xxhash64(F.concat_ws(" ", F.slice("_toks", s, k)))
+    )
+    occ = base.select("_id", F.posexplode(grams).alias("_i", "_h")).select(
+        "_id", (F.col("_i") + 1).alias("_s"), "_h"
+    )
+    return base, occ
+
+
+def _substr_rebuild(base: DataFrame, dup_starts: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Shared back half: drop every token covered by a duplicated start."""
     joined = base.join(dup_starts, "_id", "left").select(
         "_id",
         "_toks",
@@ -698,3 +709,48 @@ def substring_dedup(
         (F.size("_toks") - F.size(kept)).alias("n_removed"),
         F.concat_ws(" ", kept).alias("text_dedup"),
     )
+
+
+def incremental_substring_dedup(
+    spark,
+    docs: DataFrame,
+    gram_store: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """ExactSubstr across crawl batches, keep-FIRST semantics: a token of
+    the NEW batch is removed iff some k-window containing it was already
+    seen in ANY earlier batch (gram-hash present in the store) or repeats
+    within this batch.  With an empty store this is exactly
+    :func:`substring_dedup`; already-shipped copies in old batches are
+    never touched (they were first).
+
+    ``gram_store`` is a parquet dir of DISTINCT gram hashes (8 bytes each)
+    of every batch's ORIGINAL text — stored pre-removal, so a span that
+    survived batch N still kills its re-crawl in batch N+1.  Per batch the
+    store-side work is one presence semi-join on the hash (at catalog
+    scale, bucket the store on the hash exactly like
+    sources/sigstore.BucketedSigStore's bands table); batch-internal
+    repeats use the same window count as the batch operator.  The result
+    is eagerly materialized BEFORE the store append (the lazy-plan-reads-
+    mutated-input hazard, see incremental_dedup).
+    """
+    from pathlib import Path
+
+    from pyspark.sql import Window
+
+    base, occ = _substr_base_occ(docs, text_col, id_col, k)
+    batch_dup = occ.withColumn(
+        "_c", F.count("*").over(Window.partitionBy("_h"))
+    ).filter(F.col("_c") >= 2).select("_id", "_s")
+    if Path(gram_store).exists():
+        seen = spark.read.parquet(gram_store)
+        store_hit = occ.join(seen, occ["_h"] == seen["h"], "left_semi").select("_id", "_s")
+        dup = batch_dup.unionByName(store_hit).distinct()
+    else:
+        dup = batch_dup
+    dup_starts = dup.groupBy("_id").agg(F.collect_list("_s").alias("_ds"))
+    result = _substr_rebuild(base, dup_starts, id_col, k).localCheckpoint(eager=True)
+    occ.select(F.col("_h").alias("h")).distinct().write.mode("append").parquet(gram_store)
+    return result

@@ -275,3 +275,49 @@ def test_signature_prefilter(spark):
     # surviving pairs still verify exactly
     verified = jaccard_verify(docs, lsh_candidate_pairs(sig, "url"), "url", "text", 0.7)
     assert {(r["a"], r["b"]) for r in verified.select("a", "b").collect()} == {("a", "b")}
+
+
+def test_incremental_substring_dedup(spark, tmp_path):
+    """Keep-first across batches: spans already seen in the store kill
+    their re-crawls; batch-internal repeats still dedup; fresh text and
+    the first batch itself pass through untouched."""
+    from data_quality_monitoring_spark.operators.dedup import (
+        incremental_substring_dedup,
+        substring_dedup,
+    )
+
+    store = str(tmp_path / "grams")
+    span = " ".join(f"s{i}" for i in range(25))
+    fresh_a = " ".join(f"a{i}" for i in range(30))
+    fresh_b = " ".join(f"b{i}" for i in range(30))
+
+    b0 = spark.createDataFrame([(1, fresh_a + " " + span)], "doc_id long, text string")
+    r0 = {r["doc_id"]: r for r in incremental_substring_dedup(spark, b0, store).collect()}
+    assert r0[1]["n_removed"] == 0  # first batch: nothing seen before
+
+    # batch 1: a re-crawl carrying the old span + genuinely new text
+    b1 = spark.createDataFrame(
+        [(2, fresh_b + " " + span), (3, "completely new words only")],
+        "doc_id long, text string",
+    )
+    r1 = {r["doc_id"]: r for r in incremental_substring_dedup(spark, b1, store).collect()}
+    assert r1[2]["n_removed"] == 25 and r1[2]["text_dedup"] == fresh_b
+    assert r1[3]["n_removed"] == 0
+
+    # batch 2: within-batch repeat (two fresh docs sharing a new span)
+    span2 = " ".join(f"t{i}" for i in range(25))
+    b2 = spark.createDataFrame(
+        [(4, "c c c " + span2), (5, "d d d " + span2)], "doc_id long, text string"
+    )
+    r2 = {r["doc_id"]: r for r in incremental_substring_dedup(spark, b2, store, k=20).collect()}
+    assert r2[4]["n_removed"] == 25 and r2[5]["n_removed"] == 25
+
+    # empty store ≡ the batch operator (same corpus, same result)
+    fresh_store = str(tmp_path / "grams2")
+    batch = spark.createDataFrame(
+        [(1, fresh_a + " " + span), (2, fresh_b + " " + span)],
+        "doc_id long, text string",
+    )
+    inc = sorted(map(tuple, incremental_substring_dedup(spark, batch, fresh_store).collect()))
+    bat = sorted(map(tuple, substring_dedup(batch).collect()))
+    assert inc == bat
