@@ -744,13 +744,20 @@ def incremental_substring_dedup(
     batch_dup = occ.withColumn(
         "_c", F.count("*").over(Window.partitionBy("_h"))
     ).filter(F.col("_c") >= 2).select("_id", "_s")
+    new_grams = occ.select(F.col("_h").alias("h")).distinct()
     if Path(gram_store).exists():
         seen = spark.read.parquet(gram_store)
         store_hit = occ.join(seen, occ["_h"] == seen["h"], "left_semi").select("_id", "_s")
         dup = batch_dup.unionByName(store_hit).distinct()
+        # append only genuinely-new hashes: the store stays the distinct
+        # gram set ever seen instead of growing with every re-crawl
+        new_grams = new_grams.join(seen, "h", "left_anti")
     else:
         dup = batch_dup
     dup_starts = dup.groupBy("_id").agg(F.collect_list("_s").alias("_ds"))
+    # BOTH plans that read the store must materialize before the append
+    # mutates it (persist is not enough — see incremental_dedup)
     result = _substr_rebuild(base, dup_starts, id_col, k).localCheckpoint(eager=True)
-    occ.select(F.col("_h").alias("h")).distinct().write.mode("append").parquet(gram_store)
+    new_grams = new_grams.localCheckpoint(eager=True)
+    new_grams.write.mode("append").parquet(gram_store)
     return result

@@ -228,3 +228,21 @@ def test_bucketed_sigstore_store_side_no_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert (n_bucketed, n_plain) == (1, 2)  # the store-side Exchange is gone
+
+
+def test_bucketed_sigstore_census_cap_matches_live_count(spark, tmp_path):
+    """With a cap small enough to actually fire, the census-driven hot set
+    (bucketed layout) must drop exactly what the live band count (parquet
+    layout) drops — batch results stay identical."""
+    import uuid
+
+    from data_quality_monitoring_spark.plans.corpus import incremental_dedup
+    from data_quality_monitoring_spark.sources.sigstore import BucketedSigStore
+
+    b_store = BucketedSigStore("sigc_" + uuid.uuid4().hex[:8])
+    p_path = str(tmp_path / "sigcap")
+    for i in range(3):
+        ap, sp = incremental_dedup(spark, _sig_batch(spark, i), p_path, max_bucket=3)
+        ab, sb = incremental_dedup(spark, _sig_batch(spark, i), b_store, max_bucket=3)
+        assert sp == sb
+        assert sorted(r.url for r in ap.collect()) == sorted(r.url for r in ab.collect())
