@@ -99,7 +99,9 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--substring-k", type=int, default=None,
         help="corpus mode: after doc-level dedup, strip every token inside "
         "a >= K-token span repeated anywhere in the corpus "
-        "(operators/dedup.substring_dedup, Lee et al. 2022 ExactSubstr)",
+        "(operators/dedup.substring_dedup, Lee et al. 2022 ExactSubstr); "
+        "incremental mode: same, keep-first across batches against the "
+        "gram store at <sig-store>_grams",
     )
     return p.parse_args(argv)
 
@@ -359,6 +361,24 @@ def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
         store = BucketedSigStore(args.sig_store)
     else:
         store = args.sig_store
+
+    k = getattr(args, "substring_k", None)
+    if k:
+        # cross-batch ExactSubstr BEFORE doc-level dedup: spans already
+        # shipped in earlier batches are stripped first (keep-first), so a
+        # re-crawl whose only novelty is boilerplate dedups away entirely
+        from ..operators.dedup import incremental_substring_dedup
+
+        sd = incremental_substring_dedup(
+            spark, kept, f"{args.sig_store}_grams",
+            text_col="text_scrubbed", id_col="url", k=k,
+        )
+        kept = (
+            kept.select("url", "lang")
+            .join(sd.select("url", F.col("text_dedup").alias("text_scrubbed")), "url")
+            .persist()
+        )
+
     accepted, stats = incremental_dedup(
         spark, kept, store, accepted_writer=write_corpus
     )

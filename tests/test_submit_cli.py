@@ -275,3 +275,34 @@ def test_cli_incremental_bucketed_layout(spark, tmp_path):
     # second identical batch is a full duplicate of the first: all dropped
     assert stats["accepted"] == 0
     assert spark.catalog.tableExists(f"{prefix}_sig")
+
+
+def test_cli_incremental_substring(spark, tmp_path):
+    """--substring-k in incremental mode: boilerplate repeated within the
+    first batch AND re-crawled in the second is stripped everywhere —
+    no accepted doc in any batch retains it."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.plans.submit import run_incremental
+
+    out_dir = str(tmp_path / "inc_ss_out")
+    sig = str(tmp_path / "inc_ss_sigs")
+    boiler = " ".join(f"z{i}" for i in range(30))
+
+    def batch(i, n):
+        in_dir = str(tmp_path / f"in_ss{i}")
+        generate_pages(spark, n, partitions=4, id_offset=i * 10_000).withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.lit(boiler))
+        ).write.parquet(in_dir)
+        return in_dir
+
+    for i in range(2):
+        args = build_args(
+            ["--mode", "incremental", "--input", batch(i, 80), "--output", out_dir,
+             "--sig-store", sig, "--substring-k", "20"]
+        )
+        stats = run_incremental(spark, args)
+        assert stats["accepted"] >= 1
+    corpus = spark.read.parquet(f"{out_dir}/corpus")
+    assert corpus.count() >= 2
+    assert corpus.filter(F.col("text_scrubbed").contains("z0 z1 z2")).count() == 0
