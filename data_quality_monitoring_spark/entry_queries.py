@@ -2110,8 +2110,9 @@ def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.round(score, 6).alias("ppl"))
 
 
-SQL_PERPLEXITY_SCORES = f"""
-WITH tr AS (
+# Shared relational form of the bigram-LM train+score (used by both the
+# scores and the CCNet-bucketing oracles).
+_SQL_PPL_CTES = f"""tr AS (
   SELECT lang, {_PYWORDS_SQL.format(c="text")} AS toks
   FROM documents WHERE n_chars >= 300 AND lang IS NOT NULL
 ), trb AS (
@@ -2139,12 +2140,63 @@ sc AS (
   LEFT JOIN bi  ON bi.lang = scb.g AND bi.prev = scb.prev AND bi.cur = scb.cur
   LEFT JOIN ctx ON ctx.lang = scb.g AND ctx.prev = scb.prev
   LEFT JOIN wrd ON wrd.lang = scb.g AND wrd.cur = scb.cur
-)
+)"""
+
+SQL_PERPLEXITY_SCORES = f"""
+WITH {_SQL_PPL_CTES}
 SELECT d.doc_id, round(s.ppl, 6) AS ppl
 FROM documents d
 LEFT JOIN (SELECT doc_id, sum(nll) / any_value(n_toks) AS ppl FROM tok GROUP BY doc_id) s
   ON s.doc_id = d.doc_id
 """
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH {_SQL_PPL_CTES},
+scored AS (
+  SELECT d.doc_id, coalesce(d.lang, 'en') AS bl, round(s.ppl, 6) AS ppl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, sum(nll) / any_value(n_toks) AS ppl FROM tok GROUP BY doc_id) s
+    ON s.doc_id = d.doc_id
+), ranked AS (
+  SELECT doc_id,
+         percent_rank() OVER (PARTITION BY bl ORDER BY ppl ASC, doc_id ASC) AS pr
+  FROM scored WHERE ppl IS NOT NULL
+)
+SELECT s.doc_id, s.ppl,
+       coalesce(CASE WHEN r.pr < 1.0 / 3.0 THEN 'head'
+                     WHEN r.pr < 2.0 / 3.0 THEN 'middle'
+                     ELSE 'tail' END, 'unscored') AS ppl_bucket
+FROM scored s LEFT JOIN ranked r ON r.doc_id = s.doc_id
+"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning by per-language perplexity —
+    FULLY ORACLED.
+
+    The scores come from the same in-query-trained distributed bigram LM as
+    ``perplexity_scores`` (itself hash-green), then
+    ``operators.perplexity.perplexity_buckets`` assigns each document to its
+    language's 1/3–2/3 percentile tier (Wenzek et al. 2020; the reference's
+    single-threshold verdict, llm_anomaly_detector.py:250-284, is the
+    2-tier special case).  The contract uses the exact rank form —
+    percent_rank is integer arithmetic, so DuckDB reproduces it bit-for-bit
+    on the rounded scores; the shuffle-free broadcast-threshold form is the
+    100-TB path (see the operator docstring) and is pinned against this one
+    in pytest."""
+    from .operators.perplexity import (
+        perplexity_buckets,
+        perplexity_column,
+        train_bigram_distributed,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    models = train_bigram_distributed(
+        d.filter(F.col("n_chars") >= 300), max_vocab=1_000_000
+    )
+    score = perplexity_column(spark, models, F.col("text"), F.col("lang"))
+    scored = d.select("doc_id", "lang", F.round(score, 6).alias("ppl"))
+    return perplexity_buckets(scored).select("doc_id", "ppl", "ppl_bucket")
 
 
 def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2480,6 +2532,7 @@ QUERIES = {
     "langid_scores": q_langid_scores,
     "quality_model_scores": q_quality_model_scores,
     "perplexity_scores": q_perplexity_scores,
+    "perplexity_buckets": q_perplexity_buckets,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
     "keyword_check": q_keyword_check,
@@ -2578,6 +2631,7 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "langid_scores": SQL_LANGID_SCORES,
     "perplexity_scores": SQL_PERPLEXITY_SCORES,
+    "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,

@@ -236,3 +236,45 @@ def test_quality_classifier_separation_on_corpus(spark):
     junk = scored[scored.b.isin([12, 13])].p
     assert len(clean) > 100 and len(junk) > 20
     assert clean.min() > junk.max()
+
+
+def test_perplexity_buckets_rank_and_threshold(spark):
+    """CCNet head/middle/tail tiers: the exact rank form and the
+    broadcast-threshold (100-TB) form agree on a corpus with well-separated
+    scores; NULL scores label 'unscored' in both."""
+    from data_quality_monitoring_spark.operators.perplexity import perplexity_buckets
+
+    rows = [
+        # lang 'en': 9 docs with distinct ppl 1..9 → 3 per tier
+        *[(f"e{i}", "en", float(i)) for i in range(1, 10)],
+        # lang 'fr': 3 docs
+        ("f1", "fr", 2.0), ("f2", "fr", 5.0), ("f3", "fr", 8.0),
+        # NULL lang folds into 'en'; NULL score → unscored
+        ("x1", None, 4.5), ("x2", "en", None),
+    ]
+    scored = spark.createDataFrame(rows, "doc_id string, lang string, ppl double")
+
+    ranked = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(scored, mode="rank").collect()
+    }
+    assert ranked["x2"] == "unscored"
+    assert ranked["f1"] == "head" and ranked["f2"] == "middle" and ranked["f3"] == "tail"
+    # en partition includes x1 (null lang → 'en'): 10 docs, percent_rank
+    # thirds → 1..3 + x1(4.5) head-or-middle boundary: ranks 0..9 over 10 docs,
+    # pr=idx/9; head = pr < 1/3 → idx 0,1,2 → ppl 1,2,3
+    assert [ranked[f"e{i}"] for i in (1, 2, 3)] == ["head"] * 3
+    assert ranked["e9"] == "tail"
+
+    thr = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(scored, mode="threshold").collect()
+    }
+    assert thr["x2"] == "unscored"
+    # away from interpolated boundaries the two forms agree tier-for-tier
+    for d in ("f1", "f2", "f3", "e1", "e2", "e9"):
+        assert thr[d] == ranked[d], d
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        perplexity_buckets(scored, mode="nope")
