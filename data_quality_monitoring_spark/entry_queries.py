@@ -1477,6 +1477,99 @@ def _extract_text_sql() -> str:
 SQL_EXTRACT_TEXT = _extract_text_sql()
 
 
+def _messy_url_expr() -> "Column":
+    """Deterministic messy-URL synthesis from doc_id (testdata documents
+    carry no url column; this builds one identically in Spark and DuckDB so
+    the canonicalizer is oracle-checkable on every normalization branch:
+    case, www, default/odd port, duplicate slashes, trailing slash,
+    tracking params, param order, fragment)."""
+    did = F.col("doc_id")
+    s = lambda n: F.pmod(did, n).cast("string")  # noqa: E731
+    return F.concat(
+        F.when(F.pmod(did, 3) == 0, F.lit("http://WWW."))
+        .when(F.pmod(did, 3) == 1, F.lit("HTTPS://www."))
+        .otherwise(F.lit("https://")),
+        F.lit("Site"), s(50), F.lit(".Example.COM"),
+        F.when(F.pmod(did, 5) == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/cat//"), s(7),
+        F.when(F.pmod(did, 2) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z=9&id="), did.cast("string"),
+        F.when(F.pmod(did, 4) == 0, F.lit("&utm_medium=rss")).otherwise(F.lit("")),
+        F.lit("&a=1"),
+        F.when(F.pmod(did, 6) == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (crawl-dedup pre-step) — FULLY ORACLED.
+
+    ``operators.urls.canonicalize_url`` over deterministically-synthesized
+    messy URLs; DuckDB replays the identical regexp/list chain.  Pure
+    whole-stage-codegen map — no shuffle, no Python."""
+    from .operators.urls import canonicalize_url, url_host
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    u = d.withColumn("url", _messy_url_expr())
+    return u.select(
+        "doc_id",
+        "url",
+        canonicalize_url(F.col("url")).alias("url_canonical"),
+        url_host(F.col("url")).alias("host"),
+    )
+
+
+SQL_URL_CANONICAL = r"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN 'http://WWW.' WHEN 1 THEN 'HTTPS://www.' ELSE 'https://' END
+     || 'Site' || (doc_id % 50)::VARCHAR || '.Example.COM'
+     || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+     || '/cat//' || (doc_id % 7)::VARCHAR
+     || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+     || '?utm_source=feed&z=9&id=' || doc_id::VARCHAR
+     || CASE WHEN doc_id % 4 = 0 THEN '&utm_medium=rss' ELSE '' END
+     || '&a=1'
+     || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+), p2 AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                         '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(url, '#.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM raw
+), p3 AS (
+  SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS hostport,
+         regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM p2
+), p4 AS (
+  SELECT *,
+    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '^www\.', '') AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    regexp_replace(regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                                  '/{2,}', '/', 'g'), '/$', '') AS path,
+    regexp_extract(pathq, '\?(.*)$', 1) AS query
+  FROM p3
+), p5 AS (
+  SELECT doc_id, url, scheme, host, port, path,
+    list_sort(list_filter(str_split(query, '&'),
+      p -> p <> '' AND NOT regexp_matches(p,
+        '^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)(=.*)?$'))) AS params
+  FROM p4
+)
+SELECT doc_id, url,
+  scheme || '://' || host
+  || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+               OR (scheme = 'https' AND port = '443')
+          THEN '' ELSE ':' || port END
+  || path
+  || CASE WHEN len(params) = 0 THEN '' ELSE '?' || array_to_string(params, '&') END
+    AS url_canonical,
+  host
+FROM p5
+"""
+
+
 def q_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish sub-word token accounting per source."""
     from .operators.textstats import bpe_ish_token_count
@@ -2533,6 +2626,7 @@ QUERIES = {
     "quality_model_scores": q_quality_model_scores,
     "perplexity_scores": q_perplexity_scores,
     "perplexity_buckets": q_perplexity_buckets,
+    "url_canonical": q_url_canonical,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
     "keyword_check": q_keyword_check,
@@ -2632,6 +2726,7 @@ ORACLES = {
     "langid_scores": SQL_LANGID_SCORES,
     "perplexity_scores": SQL_PERPLEXITY_SCORES,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+    "url_canonical": SQL_URL_CANONICAL,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,

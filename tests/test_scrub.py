@@ -50,3 +50,27 @@ def test_chain_order_email_before_phone():
     assert scrub_str(s) == "x [EMAIL] y"
     names = [n for n, _, _ in DEFAULT_SCRUB_CHAIN]
     assert names.index("email") < names.index("phone_us")
+
+
+def test_canonicalize_url_branches(spark):
+    """Every normalization branch on hand-picked literals."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.operators.urls import canonicalize_url, url_host
+
+    cases = [
+        ("http://WWW.Ex.COM:80//a//b/?b=2&utm_source=x&a=1#frag",
+         "http://ex.com/a/b?a=1&b=2"),
+        ("https://site.com:443/", "https://site.com"),
+        ("https://site.com:8443/x", "https://site.com:8443/x"),
+        ("http://site.com:443/x", "http://site.com:443/x"),
+        ("https://www.site.com/?utm_medium=rss&fbclid=abc&gclid&ref=hn",
+         "https://site.com"),
+        ("HTTP://a.B.c/Path/Stays/Case/", "http://a.b.c/Path/Stays/Case"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+    hosts = [r[0] for r in df.select(url_host(F.col("url"))).collect()]
+    assert hosts == ["ex.com", "site.com", "site.com", "site.com", "site.com", "a.b.c"]
