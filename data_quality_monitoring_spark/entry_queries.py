@@ -1570,6 +1570,65 @@ FROM p5
 """
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph host reputation (5-step PageRank) — FULLY ORACLED.
+
+    A deterministic host link graph is synthesized from doc_id arithmetic
+    (53 hosts, two outlink families, hosts ≡0 mod 11 stripped of outlinks so
+    the dangling-mass branch is exercised); ``operators.linkgraph.pagerank``
+    runs 5 synchronous steps and DuckDB replays them as unrolled relational
+    algebra.  Rank arithmetic is identical IEEE expressions in both engines;
+    only group-sum order differs (~1 ulp), absorbed by round(6)."""
+    from .operators.linkgraph import pagerank
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    e1 = d.select((did % 53).alias("src"), ((did * 2 + 1) % 53).alias("dst"))
+    e2 = d.select((did % 53).alias("src"), ((did * 5 + 3) % 53).alias("dst"))
+    edges = e1.unionAll(e2).distinct().filter(F.col("src") % 11 != 0)
+    pr = pagerank(edges, n_iter=5)
+    return pr.select(F.col("node").alias("host_id"), F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled relational replay of q_host_pagerank for DuckDB."""
+    edges = (
+        "SELECT DISTINCT src, dst FROM ("
+        "SELECT doc_id % 53 AS src, (doc_id * 2 + 1) % 53 AS dst FROM documents "
+        "UNION ALL SELECT doc_id % 53, (doc_id * 5 + 3) % 53 FROM documents"
+        ") WHERE src % 11 <> 0"
+    )
+    parts = [
+        f"e AS ({edges})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "od AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    base, damp = f"{1.0 - damping:.17g}", f"{damping:.17g}"
+    for k in range(1, n_iter + 1):
+        p = k - 1
+        parts.append(
+            f"d{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS dang FROM r{p} r "
+            f"LEFT JOIN od ON od.src = r.node WHERE od.src IS NULL)"
+        )
+        parts.append(
+            f"r{k} AS (SELECT nodes.node, {base} / (SELECT n FROM nn) + {damp} * "
+            f"(coalesce(s.c, 0.0) + (SELECT dang FROM d{k}) / (SELECT n FROM nn)) AS rank "
+            f"FROM nodes LEFT JOIN (SELECT e.dst AS node, sum(r.rank / od.od) AS c "
+            f"FROM e JOIN r{p} r ON r.node = e.src JOIN od ON od.src = e.src "
+            f"GROUP BY e.dst) s ON s.node = nodes.node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node AS host_id, round(rank, 6) AS rank FROM r{n_iter}"
+    )
+
+
+SQL_HOST_PAGERANK = _pagerank_sql()
+
+
 def q_token_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish sub-word token accounting per source."""
     from .operators.textstats import bpe_ish_token_count
@@ -2627,6 +2686,7 @@ QUERIES = {
     "perplexity_scores": q_perplexity_scores,
     "perplexity_buckets": q_perplexity_buckets,
     "url_canonical": q_url_canonical,
+    "host_pagerank": q_host_pagerank,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
     "keyword_check": q_keyword_check,
@@ -2727,6 +2787,7 @@ ORACLES = {
     "perplexity_scores": SQL_PERPLEXITY_SCORES,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "url_canonical": SQL_URL_CANONICAL,
+    "host_pagerank": SQL_HOST_PAGERANK,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,

@@ -321,3 +321,32 @@ def test_incremental_substring_dedup(spark, tmp_path):
     inc = sorted(map(tuple, incremental_substring_dedup(spark, batch, fresh_store).collect()))
     bat = sorted(map(tuple, substring_dedup(batch).collect()))
     assert inc == bat
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """5-step PageRank vs an independent dense numpy implementation, on a
+    graph with a dangling node and a self-loop; ranks stay a distribution."""
+    import numpy as np
+
+    from data_quality_monitoring_spark.operators.linkgraph import pagerank
+
+    # self-loop at 2; node 4 has inlinks but no outlinks → dangling branch
+    edges = [(0, 1), (0, 2), (1, 2), (2, 2), (3, 0), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+
+    n, d = 5, 0.85
+    M = np.zeros((n, n))
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    for s, ts in out.items():
+        for t in ts:
+            M[t, s] = 1.0 / len(ts)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        dang = sum(r[i] for i in range(n) if i not in out)
+        r = (1 - d) / n + d * (M @ r + dang / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
