@@ -41,6 +41,9 @@ HEADLINE = [
     "sequence_packing_bpe",  # tokenizer-faithful budgets (round 3)
     "langid_scores",  # in-query distributed NB train + Arrow score (round 3)
     "perplexity_scores",  # in-query distributed bigram-LM train + score (round 3)
+    "perplexity_buckets",  # CCNet head/middle/tail tiers (round 3)
+    "url_canonical",  # codegen-only crawl-dedup key (round 3)
+    "host_pagerank",  # iterative link-graph reputation (round 3)
     "embedding_near_dup",
     "repetition_stats",
     "normalize_unicode",
