@@ -13,10 +13,13 @@ Spark-first shape, per iteration:
 * ``contribs``: edges ⋈ ranks on ``src`` (shuffle on src), ``rank/outdeg``
   summed per ``dst`` (map-side combined shuffle on dst) — both keyed on the
   high-cardinality host id, so they scale exactly like the dedup joins,
-* dangling mass (nodes with no outlinks) is ONE scalar aggregate per
-  iteration — a bounded driver-side reduce like connected_components'
-  convergence ``count()``, not a per-row collect,
-* ``localCheckpoint`` truncates the iterative lineage each round.
+* dangling mass (nodes with no outlinks) rides the SAME aggregation as the
+  contributions: dangling nodes emit a NULL-dst sentinel row, the one-row
+  ``sum`` over that group cross-joins back broadcast — no per-iteration
+  driver action, and the contribution shuffle is reused between the two
+  branches (ReusedExchange),
+* ``localCheckpoint`` truncates the iterative lineage each round, so each
+  iteration is exactly one Spark job.
 
 Fixed ``n_iter`` (default 5) keeps the operator deterministic and lets a
 second engine replay it as unrolled relational algebra (the contract
@@ -51,41 +54,52 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("od")).persist()
-    e_w = (
+    dst_type = e.schema["dst"].dataType
+    # dangling nodes contribute their whole rank to a NULL-dst sentinel
+    # group, so one aggregation yields both the per-node contributions and
+    # the dangling mass
+    e_aug = (
         e.join(outdeg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("od")).alias("w"))
+        .unionAll(
+            nodes.join(outdeg, nodes["node"] == outdeg["src"], "left_anti").select(
+                F.col("node").alias("src"),
+                F.lit(None).cast(dst_type).alias("dst"),
+                F.lit(1.0).alias("w"),
+            )
+        )
         .persist()
     )
-    dangling_nodes = nodes.join(
-        outdeg, nodes["node"] == outdeg["src"], "left_anti"
-    ).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     base = (1.0 - damping) / n
     try:
         for _ in range(n_iter):
-            dang = (
-                dangling_nodes.join(ranks, "node")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .first()[0]
-            )
-            summed = (
-                e_w.join(ranks.withColumnRenamed("node", "src"), "src")
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+            summed = e_aug.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            ).groupBy("dst").agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+            dang_row = summed.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("dst").isNull(), F.col("c"))), F.lit(0.0)
+                ).alias("dang")
             )
             ranks = (
-                nodes.join(summed, "node", "left")
+                nodes.join(summed, nodes["node"] == summed["dst"], "left")
+                .crossJoin(F.broadcast(dang_row))
                 .select(
                     "node",
                     (
                         F.lit(base)
                         + F.lit(damping)
-                        * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dang / n))
+                        * (
+                            F.coalesce(F.col("c"), F.lit(0.0))
+                            + F.col("dang") / F.lit(float(n))
+                        )
                     ).alias("rank"),
                 )
                 .localCheckpoint(eager=True)
             )
         return ranks
     finally:
-        for df in (nodes, outdeg, e_w, dangling_nodes):
-            df.unpersist()
+        nodes.unpersist()
+        outdeg.unpersist()
+        e_aug.unpersist()
