@@ -225,3 +225,77 @@ SELECT w, max(n) FROM seg GROUP BY w
 """
     duck = dict(con.execute(sql).fetchall())
     assert py == duck
+
+
+# ---------------------------------------------------------------- URL canon
+
+_TRACK_RE_PY = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)(=.*)?$"
+
+
+def _canon_py(url: str) -> str:
+    """Independent pure-Python canonicalizer (Python `re` vs Spark's Java
+    regex — the same two-engine seam as the scrub fuzz above)."""
+    import re as _re
+
+    u = _re.sub(r"#.*$", "", url)
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+    scheme = m.group(1).lower() if m else ""
+    rest = _re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*://", "", u)
+    hostport = _re.match(r"^([^/?]*)", rest).group(1)
+    pathq = rest[len(hostport):]
+    host = _re.sub(r"^www\.", "", _re.match(r"^([^:]*)", hostport).group(1).lower())
+    pm = _re.search(r":([0-9]+)$", hostport)
+    port = pm.group(1) if pm else ""
+    if port == "" or (scheme == "http" and port == "80") or (scheme == "https" and port == "443"):
+        port_part = ""
+    else:
+        port_part = ":" + port
+    path = _re.match(r"^([^?]*)", pathq).group(1)
+    path = _re.sub(r"/{2,}", "/", path)
+    path = _re.sub(r"/$", "", path)
+    qm = _re.search(r"\?(.*)$", pathq)
+    query = qm.group(1) if qm else ""
+    params = sorted(p for p in query.split("&") if p and not _re.match(_TRACK_RE_PY, p))
+    query_part = "?" + "&".join(params) if params else ""
+    return scheme + "://" + host + port_part + path + query_part
+
+
+_url_parts = st.builds(
+    lambda scheme, www, host, port, segs, slashes, trail, params, frag: (
+        scheme
+        + "://"
+        + www
+        + host
+        + (f":{port}" if port else "")
+        + "".join("/" * s + seg for s, seg in zip(slashes, segs))
+        + ("/" if trail else "")
+        + ("?" + "&".join(params) if params else "")
+        + ("#x y#" if frag else "")
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTP", "HtTpS", "ftp"]),
+    www=st.sampled_from(["", "www.", "WWW.", "wwwx."]),
+    host=st.text(alphabet="aB9.-", min_size=1, max_size=12),
+    port=st.sampled_from([None, 80, 443, 8080]),
+    segs=st.lists(st.text(alphabet="aZ0._~%", max_size=6), max_size=4),
+    slashes=st.lists(st.integers(min_value=1, max_value=3), min_size=4, max_size=4),
+    trail=st.booleans(),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "zz", "id=9", "utm_source=x", "utm_x", "ref=hn",
+             "fbclid=1", "gclid", "a=", "=v", "A=1"]
+        ),
+        max_size=5,
+    ),
+    frag=st.booleans(),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_url_parts, min_size=1, max_size=60))
+def test_url_canonicalize_matches_python_fuzz(spark, urls):
+    from data_quality_monitoring_spark.operators.urls import canonicalize_url
+
+    df = spark.createDataFrame(pd.DataFrame({"u": pd.Series(urls, dtype="object")}))
+    got = [r[0] for r in df.select(canonicalize_url(F.col("u"))).collect()]
+    want = [_canon_py(u) for u in urls]
+    assert got == want
