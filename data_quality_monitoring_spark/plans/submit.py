@@ -48,6 +48,14 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(full reference main.py dispatcher parity)",
     )
     p.add_argument("--input", required=True, help="pages parquet path")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="filter mode: 'warc' ingests raw *.warc/*.warc.gz crawl files "
+        "(sources/warc.py; response records → pages, pair with "
+        "--extract-html to fill text from the html payload)",
+    )
     p.add_argument("--output", required=True, help="output table root")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--chunk-buckets", type=int, default=16)
@@ -125,7 +133,12 @@ def _parse_methods(raw: str | None) -> list[str] | None:
 
 
 def run(spark: SparkSession, args: argparse.Namespace) -> dict:
-    pages = spark.read.parquet(args.input)
+    if getattr(args, "input_format", "parquet") == "warc":
+        from ..sources.warc import read_warc, warc_to_pages
+
+        pages = warc_to_pages(read_warc(spark, args.input))
+    else:
+        pages = spark.read.parquet(args.input)
     sink = PartitionedSink(args.output, args.n_buckets, args.chunk_buckets)
 
     methods = _parse_methods(getattr(args, "methods", None))

@@ -183,3 +183,65 @@ def test_raw_fragment_parity_fuzz(spark, frags):
         f"SELECT {html_to_text_sql('s')} AS t FROM t ORDER BY i"
     ).df()["t"].tolist()
     assert duck == want
+
+
+def _mk_warc_record(rtype, uri, body, with_http=False):
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        if with_http
+        else body
+    )
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + rtype.encode() + b"\r\n"
+        b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+        b"WARC-Date: 2024-03-05T12:30:00Z\r\n"
+        b"WARC-Record-ID: <urn:uuid:" + rtype.encode() + b"-1>\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+    )
+    return head + payload + b"\r\n\r\n"
+
+
+def test_warc_source_roundtrip(spark, tmp_path):
+    """Plain + multi-member-gzip WARC files → records → pages projection."""
+    import gzip
+
+    from data_quality_monitoring_spark.sources.warc import (
+        parse_warc_bytes,
+        read_warc,
+        warc_to_pages,
+    )
+
+    r1 = _mk_warc_record("response", "http://a.com/x", b"<html>alpha</html>", with_http=True)
+    r2 = _mk_warc_record("request", "http://a.com/x", b"GET /x HTTP/1.1")
+    r3 = _mk_warc_record("response", "http://b.com/y", b"<html>beta</html>", with_http=True)
+
+    # pure-function parse first
+    recs = parse_warc_bytes(r1 + r2)
+    assert [r["warc_type"] for r in recs] == ["response", "request"]
+    assert recs[0]["html"] == b"<html>alpha</html>"  # HTTP headers stripped
+    assert recs[0]["url"] == "http://a.com/x"
+    assert str(recs[0]["warc_ts"]) == "2024-03-05 12:30:00"
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "f1.warc").write_bytes(r1 + r2)
+    # Common-Crawl style: one gzip member per record, concatenated
+    (d / "f2.warc.gz").write_bytes(gzip.compress(r3) + gzip.compress(r2))
+
+    df = read_warc(spark, str(d)).cache()
+    all_rows = df.collect()
+    assert len(all_rows) == 4  # r2 appears in both files
+    rows = {(r["url"], r["warc_type"]): r for r in all_rows}
+    assert bytes(rows[("http://b.com/y", "response")]["html"]) == b"<html>beta</html>"
+    assert rows[("http://a.com/x", "response")]["warc_ts"].year == 2024
+
+    pages = warc_to_pages(df)
+    got = sorted((r["url"], bytes(r["html"])) for r in pages.collect())
+    assert got == [
+        ("http://a.com/x", b"<html>alpha</html>"),
+        ("http://b.com/y", b"<html>beta</html>"),
+    ]
+    assert pages.schema.simpleString() == (
+        "struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>"
+    )

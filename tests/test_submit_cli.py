@@ -306,3 +306,43 @@ def test_cli_incremental_substring(spark, tmp_path):
     corpus = spark.read.parquet(f"{out_dir}/corpus")
     assert corpus.count() >= 2
     assert corpus.filter(F.col("text_scrubbed").contains("z0 z1 z2")).count() == 0
+
+
+def test_filter_mode_warc_ingestion(spark, tmp_path):
+    """--input-format warc: raw crawl files through the full filter job."""
+    import gzip
+
+    from data_quality_monitoring_spark.operators.extract import wrap_html
+
+    def rec(uri, body: bytes) -> bytes:
+        payload = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+            + uri.encode()
+            + b"\r\nWARC-Date: 2024-03-05T12:30:00Z\r\nContent-Length: "
+            + str(len(payload)).encode()
+            + b"\r\n\r\n"
+            + payload
+            + b"\r\n\r\n"
+        )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    blob = b"".join(
+        gzip.compress(
+            rec(f"http://h{i}.com/p", wrap_html(f"some page text {i} here", i))
+        )
+        for i in range(6)
+    )
+    (d / "seg.warc.gz").write_bytes(blob)
+
+    args = build_args(
+        ["--input", str(d), "--output", str(tmp_path / "out"),
+         "--input-format", "warc", "--extract-html",
+         "--n-buckets", "4", "--chunk-buckets", "4"]
+    )
+    summary = run(spark, args)
+    out = spark.read.parquet(str(tmp_path / "out" / "data"))
+    assert out.count() == 6
+    assert out.filter("text_scrubbed IS NOT NULL").count() == 6
+    assert summary["chunks_run"] >= 1
