@@ -1016,6 +1016,54 @@ def _sample_stratified_sql() -> str:
 SQL_SAMPLE_STRATIFIED = _sample_stratified_sql()
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted token-budget corpus mixture — FULLY ORACLED.
+
+    ``operators.sampling.mixture_sample`` with weights derived in-query
+    from the source id (``(suffix % 3) + 1`` — deterministic in both
+    engines, robust to which sources exist at a given SF) and a 30k-token
+    budget, sized so weight-1 sources bind their quota at sf0.01+ while
+    weight-3 sources don't — both sides of the greedy gate exercised."""
+    from .operators.sampling import mixture_sample
+
+    d = _read(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.size(_words(F.col("text"))).alias("n_tokens")
+    )
+    weights = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "weight",
+            (F.substring("source", 4, 10).cast("int") % 3 + 1).cast("double"),
+        )
+    )
+    out = mixture_sample(tok, weights, token_budget=30000.0)
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens", "mix_keep")
+
+
+SQL_CORPUS_MIXTURE = f"""
+WITH tok AS (
+  SELECT doc_id, source, len({_WORDS_SQL.format(c="text")}) AS n_tokens
+  FROM documents
+), wts AS (
+  SELECT source, ((substr(source, 4)::INT % 3) + 1)::DOUBLE AS weight
+  FROM (SELECT DISTINCT source FROM documents)
+), tw AS (SELECT sum(weight) AS tw FROM wts),
+q AS (SELECT source, 30000.0 * weight / (SELECT tw FROM tw) AS quota FROM wts),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR)
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          )::BIGINT AS cum_tokens
+  FROM tok
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens,
+       (c.cum_tokens - c.n_tokens) < coalesce(q.quota, 0.0) AS mix_keep
+FROM c LEFT JOIN q ON q.source = c.source
+"""
+
+
 def q_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language heuristic (cheap langid tier) vs the claimed
     tag — a confusion-style aggregate."""
@@ -2687,6 +2735,7 @@ QUERIES = {
     "perplexity_buckets": q_perplexity_buckets,
     "url_canonical": q_url_canonical,
     "host_pagerank": q_host_pagerank,
+    "corpus_mixture": q_corpus_mixture,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
     "keyword_check": q_keyword_check,
@@ -2788,6 +2837,7 @@ ORACLES = {
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "url_canonical": SQL_URL_CANONICAL,
     "host_pagerank": SQL_HOST_PAGERANK,
+    "corpus_mixture": SQL_CORPUS_MIXTURE,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,

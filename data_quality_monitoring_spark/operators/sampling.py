@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 BUCKETS = 1000
 
@@ -54,3 +55,56 @@ def stratified_sample(
             threshold
         )
     return df.filter(sample_bucket(F.col(key)) < threshold)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: DataFrame,
+    token_budget: float,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Source-weighted token-budget corpus assembly (the "data mixture"
+    step: DoReMi/Pile-style static mixing).
+
+    Each source gets ``token_budget · weight/Σweights`` tokens; documents
+    are admitted in deterministic md5(key) order until their source's quota
+    is reached (greedy prefix: a doc is kept iff the tokens *before* it are
+    under quota, so quotas may overshoot by at most one document —
+    the standard behaviour, and the one an independent engine can replay
+    exactly).  Adds ``cum_tokens`` and the ``mix_keep`` flag.
+
+    ``weights`` is a tiny (source, weight) DataFrame → broadcast; the only
+    wide operation is the per-source running sum.  At 10^12 docs a global
+    per-source sort is the wrong plan — the scale path is the two-pass
+    variant of ``stratified_sample``: estimate tokens/bucket per source
+    from a 0.1% md5-bucket sample, admit whole buckets below the estimated
+    cutoff, and run this exact operator only on the single boundary bucket
+    per source (~1/1000 of the data).  Same semantics, no global sort.
+    """
+    total = weights.agg(F.sum("weight").alias("_tw"))
+    quotas = (
+        weights.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            (F.lit(float(token_budget)) * F.col("weight") / F.col("_tw")).alias(
+                "_quota"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.join(F.broadcast(quotas), source_col, "left")
+        .withColumn("cum_tokens", F.sum(token_col).over(w))
+        .withColumn(
+            "mix_keep",
+            (F.col("cum_tokens") - F.col(token_col))
+            < F.coalesce(F.col("_quota"), F.lit(0.0)),
+        )
+        .drop("_quota")
+    )

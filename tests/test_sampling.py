@@ -43,3 +43,45 @@ def test_bucket_range(spark):
         F.min("b"), F.max("b")
     ).collect()[0]
     assert 0 <= mm[0] and mm[1] <= 999
+
+
+def test_mixture_sample_greedy_quota(spark):
+    """Greedy md5-ordered prefix per source: quota binds, overshoots by at
+    most one doc, unknown sources get quota 0."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.operators.sampling import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 6 else ("b" if i < 10 else "ghost"), 100) for i in range(12)],
+        "doc_id long, source string, n_tokens int",
+    )
+    weights = spark.createDataFrame(
+        [("a", 3.0), ("b", 1.0)], "source string, weight double"
+    )
+    # budget 400 → a: 300 tokens (3 docs), b: 100 tokens (1 doc)
+    out = mixture_sample(docs, weights, token_budget=400.0).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert sum(r["mix_keep"] for r in by_src["a"]) == 3
+    assert sum(r["mix_keep"] for r in by_src["b"]) == 1
+    assert not any(r["mix_keep"] for r in by_src["ghost"])  # no weight row
+    # kept set = the md5-order prefix (deterministic across reruns)
+    import hashlib
+
+    order = sorted(
+        (r["doc_id"] for r in by_src["a"]),
+        key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+    )
+    kept = {r["doc_id"] for r in by_src["a"] if r["mix_keep"]}
+    assert kept == set(order[:3])
+
+    # overshoot-by-at-most-one: tokens before the last kept doc < quota
+    docs2 = spark.createDataFrame(
+        [(1, "a", 250), (2, "a", 250), (3, "a", 250)],
+        "doc_id long, source string, n_tokens int",
+    )
+    w2 = spark.createDataFrame([("a", 1.0)], "source string, weight double")
+    out2 = mixture_sample(docs2, w2, token_budget=300.0).collect()
+    assert sum(r["mix_keep"] for r in out2) == 2  # 250 + 250 admits, third blocked
