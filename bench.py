@@ -43,6 +43,7 @@ HEADLINE = [
     "perplexity_scores",  # in-query distributed bigram-LM train + score (round 3)
     "perplexity_buckets",  # CCNet head/middle/tail tiers (round 3)
     "url_canonical",  # codegen-only crawl-dedup key (round 3)
+    "corpus_mixture",  # source-weighted token-budget assembly (round 3)
     "host_pagerank",  # iterative link-graph reputation (round 3)
     "embedding_near_dup",
     "repetition_stats",
