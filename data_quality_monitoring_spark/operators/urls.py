@@ -74,3 +74,27 @@ def url_host(url: Column) -> Column:
     return F.regexp_replace(
         F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"^www\.", ""
     )
+
+
+def canonical_dedup(
+    pages, url_col: str = "url", ts_col: str = "warc_ts"
+):
+    """Fetch-level dedup: rewrite ``url`` to its canonical form and keep ONE
+    row per canonical URL — the earliest fetch (md5-of-original-url
+    tiebreak, so reruns and resumes pick the same winner).  The crawl-side
+    step that runs before any text-level dedup: the shuffle key is the
+    canonical url (high-cardinality), exactly the partitioning the
+    downstream per-url work wants anyway."""
+    from pyspark.sql import DataFrame  # noqa: F401
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_cu").orderBy(
+        F.col(ts_col).asc_nulls_last(), F.md5(F.col(url_col)).asc()
+    )
+    return (
+        pages.withColumn("_cu", canonicalize_url(F.col(url_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn(url_col, F.col("_cu"))
+        .drop("_cu", "_rn")
+    )

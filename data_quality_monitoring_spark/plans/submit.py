@@ -104,6 +104,23 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "bounds candidate volume on low-entropy corpora",
     )
     p.add_argument(
+        "--canonicalize-urls",
+        action="store_true",
+        help="filter/corpus modes: canonicalize urls (operators/urls.py) "
+        "and keep one fetch per canonical url (earliest warc_ts) before "
+        "any text-level work",
+    )
+    p.add_argument(
+        "--mixture-budget", type=float, default=None,
+        help="corpus mode: total token budget for source-weighted corpus "
+        "mixing over lang (operators/sampling.mixture_sample)",
+    )
+    p.add_argument(
+        "--mixture-weights", default=None,
+        help='corpus mode: per-lang mixture weights as JSON, e.g. '
+        '\'{"en": 3, "nl": 1}\'; langs absent from the map get weight 1',
+    )
+    p.add_argument(
         "--substring-k", type=int, default=None,
         help="corpus mode: after doc-level dedup, strip every token inside "
         "a >= K-token span repeated anywhere in the corpus "
@@ -139,6 +156,10 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
         pages = warc_to_pages(read_warc(spark, args.input))
     else:
         pages = spark.read.parquet(args.input)
+    if getattr(args, "canonicalize_urls", False):
+        from ..operators.urls import canonical_dedup
+
+        pages = canonical_dedup(pages)
     sink = PartitionedSink(args.output, args.n_buckets, args.chunk_buckets)
 
     methods = _parse_methods(getattr(args, "methods", None))
@@ -199,6 +220,10 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         from ..operators.extract import extract_pages
 
         pages = extract_pages(pages)
+    if getattr(args, "canonicalize_urls", False):
+        from ..operators.urls import canonical_dedup
+
+        pages = canonical_dedup(pages)
     rates = json.loads(args.sample_rates) if args.sample_rates else None
     corpus, stats = build_corpus(
         spark, pages, jaccard_threshold=args.jaccard_threshold,
@@ -215,6 +240,38 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         )
         corpus = corpus.select("url", "lang").join(
             sd.select("url", F.col("text_dedup").alias("text_scrubbed")), "url"
+        )
+    budget = getattr(args, "mixture_budget", None)
+    if budget:  # lang-weighted token-budget mixing over the final corpus
+        from ..operators.sampling import mixture_sample
+        from ..operators.textstats import token_count
+
+        wmap = (
+            json.loads(args.mixture_weights)
+            if getattr(args, "mixture_weights", None)
+            else {}
+        )
+        langs = corpus.select("lang").distinct()
+        weights = langs.withColumn(
+            "weight",
+            F.coalesce(
+                *(
+                    [F.when(F.col("lang") == k, float(v)) for k, v in sorted(wmap.items())]
+                    + [F.lit(1.0)]
+                )
+            ),
+        ).withColumnRenamed("lang", "source")
+        tok = corpus.withColumn("n_tokens", token_count(F.col("text_scrubbed")))
+        mixed = mixture_sample(
+            tok.withColumnRenamed("lang", "source"), weights,
+            token_budget=budget, id_col="url",
+        ).filter("mix_keep")
+        corpus = mixed.withColumnRenamed("source", "lang").select(
+            "url", "lang", "text_scrubbed"
+        )
+        stats["mixture_docs_kept"] = corpus.count()
+        stats["mixture_tokens_kept"] = int(
+            mixed.agg(F.sum("n_tokens")).first()[0] or 0
         )
     corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
     Path(args.output, "corpus_stats.json").write_text(json.dumps(stats, indent=1))

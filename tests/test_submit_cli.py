@@ -346,3 +346,47 @@ def test_filter_mode_warc_ingestion(spark, tmp_path):
     assert out.count() == 6
     assert out.filter("text_scrubbed IS NOT NULL").count() == 6
     assert summary["chunks_run"] >= 1
+
+
+def test_filter_mode_canonicalize_urls(spark, tmp_path):
+    """--canonicalize-urls: a refetch with tracking params collapses onto
+    its canonical url; the earlier fetch wins."""
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in")
+    base = generate_pages(spark, 80, partitions=4)
+    refetch = base.withColumn("url", F.concat("url", F.lit("?utm_source=feed"))) \
+                  .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+    base.unionByName(refetch).write.parquet(in_dir)
+
+    args = build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out"),
+         "--canonicalize-urls", "--n-buckets", "4", "--chunk-buckets", "4"]
+    )
+    run(spark, args)
+    out = spark.read.parquet(str(tmp_path / "out" / "data"))
+    assert out.count() == 80  # one fetch per canonical url
+    assert out.filter(F.col("url").contains("utm_source")).count() == 0
+
+
+def test_corpus_mode_mixture_budget(spark, tmp_path):
+    """corpus --mixture-budget: per-lang token quotas bind and stats record
+    the mixed totals."""
+    import json as _json
+
+    from data_quality_monitoring_spark.plans.submit import run_corpus
+
+    in_dir = str(tmp_path / "in")
+    generate_pages(spark, 400, partitions=4).write.parquet(in_dir)
+    args = build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out"), "--mode", "corpus",
+         "--mixture-budget", "800", "--mixture-weights", '{"en": 3}']
+    )
+    stats = run_corpus(spark, args)
+    assert stats["mixture_docs_kept"] > 0
+    corpus = spark.read.parquet(str(tmp_path / "out" / "corpus"))
+    assert corpus.count() == stats["mixture_docs_kept"]
+    # budget binds: kept tokens stay within budget + one overshoot doc/lang
+    assert stats["mixture_tokens_kept"] < 800 + 5 * 400
+    recorded = _json.loads((tmp_path / "out" / "corpus_stats.json").read_text())
+    assert recorded["mixture_docs_kept"] == stats["mixture_docs_kept"]
