@@ -409,6 +409,10 @@ def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
     pages = spark.read.parquet(args.input)
     if getattr(args, "extract_html", False):
         pages = extract_pages(pages)
+    if getattr(args, "canonicalize_urls", False):
+        from ..operators.urls import canonical_dedup
+
+        pages = canonical_dedup(pages)
     filtered = quality_filter(
         spark, pages, combine=args.combine, regex_engine=args.regex_engine,
         methods=_parse_methods(getattr(args, "methods", None)),
