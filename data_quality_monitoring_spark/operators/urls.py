@@ -5,9 +5,10 @@ crawled as ``http://www.Site.com/a//b/?utm_source=feed&id=1#top`` and
 ``https://site.com/a/b?id=1``, and every URL-keyed stage (incremental
 recrawl, exact dedup by url, host statistics, the reference's per-url
 byte-identity contract — BASELINE.json input_hint) silently double-counts
-until the key is canonical.  The reference validates url-shaped *fields*
-(validators/: regex rules) but has no canonicalizer; this is one of the
-beyond-reference training-pipeline operators (SURVEY.md §6).
+until the key is canonical.  The reference has no URL handling at all
+(its row keys are catalog ids — validators/ operates on product fields);
+this is one of the beyond-reference training-pipeline operators
+(SURVEY.md §6).
 
 Entirely native column expressions — regexp/split/array ops, zero Python,
 zero shuffle; at 100 TB this is a free map inside whole-stage codegen.
