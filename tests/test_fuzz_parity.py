@@ -299,3 +299,46 @@ def test_url_canonicalize_matches_python_fuzz(spark, urls):
     got = [r[0] for r in df.select(canonicalize_url(F.col("u"))).collect()]
     want = [_canon_py(u) for u in urls]
     assert got == want
+
+
+# ---------------------------------------------------------------- WARC parse
+
+_warc_rec = st.builds(
+    lambda rtype, uri, body, http: (
+        rtype,
+        uri,
+        body,
+        http and rtype == "response",
+    ),
+    rtype=st.sampled_from(["response", "request", "metadata"]),
+    uri=st.text(alphabet="ab/:.%-9", min_size=1, max_size=20).map(lambda s: "http://" + s),
+    body=st.binary(max_size=200).filter(lambda b: not b.startswith(b"HTTP/")),
+    http=st.booleans(),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_warc_rec, min_size=1, max_size=8))
+def test_warc_parse_roundtrip_fuzz(recs):
+    """Records built from arbitrary parts parse back exactly (count, order,
+    type, uri, payload bytes, HTTP-header stripping) — pure function, no
+    Spark needed."""
+    from data_quality_monitoring_spark.sources.warc import parse_warc_bytes
+
+    blob = b""
+    for rtype, uri, body, with_http in recs:
+        payload = (b"HTTP/1.1 200 OK\r\nX: y\r\n\r\n" + body) if with_http else body
+        blob += (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + rtype.encode() + b"\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"WARC-Date: 2024-01-02T03:04:05Z\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+            + payload + b"\r\n\r\n"
+        )
+    got = parse_warc_bytes(blob)
+    assert len(got) == len(recs)
+    for g, (rtype, uri, body, _http) in zip(got, recs):
+        assert g["warc_type"] == rtype
+        assert g["url"] == uri
+        assert bytes(g["html"]) == body
