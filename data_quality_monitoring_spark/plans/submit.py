@@ -121,6 +121,13 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         '\'{"en": 3, "nl": 1}\'; langs absent from the map get weight 1',
     )
     p.add_argument(
+        "--pack-budget", type=int, default=None,
+        help="corpus mode: after all dedup/mixing, assign every doc a "
+        "(shard, pack_id) so packs fit this token budget "
+        "(operators/packing.pack_documents) — written as "
+        "<output>/corpus_packed",
+    )
+    p.add_argument(
         "--substring-k", type=int, default=None,
         help="corpus mode: after doc-level dedup, strip every token inside "
         "a >= K-token span repeated anywhere in the corpus "
@@ -274,6 +281,16 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
             mixed.agg(F.sum("n_tokens")).first()[0] or 0
         )
     corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
+    pack_budget = getattr(args, "pack_budget", None)
+    if pack_budget:  # training-shard layout: (shard, pack_id) per doc
+        from ..operators.packing import pack_documents
+
+        packed = pack_documents(
+            corpus, key="url", budget=pack_budget, text_col="text_scrubbed",
+            group_cols=("lang",),
+        )
+        packed.write.mode("overwrite").parquet(f"{args.output}/corpus_packed")
+        stats["packs"] = packed.select("lang", "shard", "pack_id").distinct().count()
     Path(args.output, "corpus_stats.json").write_text(json.dumps(stats, indent=1))
     return stats
 

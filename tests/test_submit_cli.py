@@ -390,3 +390,35 @@ def test_corpus_mode_mixture_budget(spark, tmp_path):
     assert stats["mixture_tokens_kept"] < 800 + 5 * 400
     recorded = _json.loads((tmp_path / "out" / "corpus_stats.json").read_text())
     assert recorded["mixture_docs_kept"] == stats["mixture_docs_kept"]
+
+
+def test_corpus_mode_pack_budget(spark, tmp_path):
+    """corpus --pack-budget: end-of-pipeline packing lands a corpus_packed
+    table whose packs respect the token budget."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.plans.submit import run_corpus
+
+    in_dir = str(tmp_path / "in")
+    generate_pages(spark, 300, partitions=4).write.parquet(in_dir)
+    args = build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out"), "--mode", "corpus",
+         "--pack-budget", "256"]
+    )
+    stats = run_corpus(spark, args)
+    packed = spark.read.parquet(str(tmp_path / "out" / "corpus_packed"))
+    assert stats["packs"] == packed.select("lang", "shard", "pack_id").distinct().count()
+    # offset-packing invariant: every doc's start offset lies inside its
+    # pack's [pack_id*budget, (pack_id+1)*budget) token window
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("lang", "shard").orderBy("url")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chk = packed.withColumn("start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    bad = chk.filter(
+        (F.col("start") < F.col("pack_id") * 256)
+        | (F.col("start") >= (F.col("pack_id") + 1) * 256)
+    ).count()
+    assert bad == 0
