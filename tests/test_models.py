@@ -278,3 +278,19 @@ def test_perplexity_buckets_rank_and_threshold(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         perplexity_buckets(scored, mode="nope")
+
+
+def test_perplexity_buckets_threshold_mode_has_no_window_sort(spark):
+    """The 100-TB path must not plan a per-language window sort; the rank
+    form does (that's its contract role)."""
+    from data_quality_monitoring_spark.operators.perplexity import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(f"d{i}", "en", float(i)) for i in range(10)],
+        "doc_id string, lang string, ppl double",
+    )
+    thr_plan = perplexity_buckets(scored, mode="threshold")._jdf.queryExecution().optimizedPlan().toString()
+    rank_plan = perplexity_buckets(scored, mode="rank")._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in thr_plan
+    assert "percentile_approx" in thr_plan
+    assert "Window" in rank_plan
