@@ -259,3 +259,67 @@ def pages_to_media(pages: DataFrame) -> DataFrame:
         F.lit("text/html").alias("mime"),
         F.col("url").alias("source_url"),
     )
+
+
+def resize_pixels(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbour resize, pure numpy fancy indexing — no image
+    library needed, deterministic, and exactly what a thumbnail/embedding
+    preprocessor wants as its fallback path."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[ys[:, None], xs[None, :]]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),  # row-major uint8 w*h*ch
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """media table → fixed-size raw pixel tensors via mapInPandas (the
+    resize step of an embedding/thumbnail pipeline; brief §multimodal).
+
+    Decodes with the same real path as ``decode_image_bytes`` (PIL if
+    importable, else the stdlib PNG decoder); undecodable payloads yield a
+    NULL pixels row rather than failing the batch — at crawl scale a
+    corrupt image must never kill a partition."""
+    import io
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {
+                    "media_id": mid, "width": out_w, "height": out_h,
+                    "channels": None, "pixels": None,
+                }
+                if payload is not None:
+                    payload = bytes(payload)
+                    arr = None
+                    try:
+                        from PIL import Image  # type: ignore
+
+                        arr = np.asarray(Image.open(io.BytesIO(payload)))
+                        if arr.ndim == 2:
+                            arr = arr[:, :, None]
+                    except Exception:
+                        if payload[:8] == _PNG_MAGIC:
+                            try:
+                                _, _, _, arr = _decode_png(payload)
+                            except Exception:
+                                arr = None
+                    if arr is not None:
+                        small = resize_pixels(arr, out_w, out_h)
+                        row["channels"] = int(small.shape[2])
+                        row["pixels"] = small.astype(np.uint8).tobytes()
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)

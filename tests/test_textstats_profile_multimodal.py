@@ -225,3 +225,33 @@ def test_extract_image_metadata_real_decode(spark):
     assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (2, 2, 3)
     assert rows[1]["n_bytes"] == len(payload)
     assert rows[2]["width"] is None  # null payload stays null
+
+
+def test_resize_images_real_png(spark):
+    """resize_images: real PNG bytes → fixed-size raw tensors; corrupt
+    payloads yield NULL pixels, not a failed batch."""
+    import numpy as np
+
+    from data_quality_monitoring_spark.operators.multimodal import (
+        resize_images,
+        resize_pixels,
+    )
+
+    # 4x6 RGB: left half red, right half green
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :3, 0] = 255
+    px[:, 3:, 1] = 255
+    media = spark.createDataFrame(
+        [(1, _make_png(px, color_type=2)), (2, b"not an image"), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 2, 2).collect()}
+    got = np.frombuffer(bytes(out[1]["pixels"]), dtype=np.uint8).reshape(2, 2, 3)
+    assert (got[:, 0] == [255, 0, 0]).all() and (got[:, 1] == [0, 255, 0]).all()
+    assert out[1]["channels"] == 3
+    assert out[2]["pixels"] is None and out[3]["pixels"] is None
+
+    # pure-numpy kernel agrees with manual nearest-neighbour picks
+    small = resize_pixels(px, 3, 2)
+    assert small.shape == (2, 3, 3)
+    assert (small[0, 0] == [255, 0, 0]).all() and (small[0, 2] == [0, 255, 0]).all()
