@@ -86,7 +86,6 @@ def canonical_dedup(
     step that runs before any text-level dedup: the shuffle key is the
     canonical url (high-cardinality), exactly the partitioning the
     downstream per-url work wants anyway."""
-    from pyspark.sql import DataFrame  # noqa: F401
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("_cu").orderBy(
