@@ -125,8 +125,15 @@ class LangIdModel:
             k = int(post.argmax())
             preds.append(self.langs[k])
             confs.append(float(post[k]))
-            ci = lang_idx.get(cl)
-            claimed_scores.append(float(post[ci]) if ci is not None else 0.0)
+            if cl is None or (isinstance(cl, float) and np.isnan(cl)):
+                # raw-crawl ingestion: nothing claimed → nothing to
+                # mismatch (finding skipped); pred_lang is still emitted
+                # so the pipeline can adopt it
+                claimed_scores.append(None)
+            else:
+                ci = lang_idx.get(cl)
+                # a CLAIMED but untrained language scores 0.0 → flagged
+                claimed_scores.append(float(post[ci]) if ci is not None else 0.0)
         return pd.DataFrame(
             {"pred_lang": preds, "confidence": confs, "claimed_score": claimed_scores}
         )

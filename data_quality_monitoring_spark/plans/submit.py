@@ -258,24 +258,26 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
             if getattr(args, "mixture_weights", None)
             else {}
         )
-        langs = corpus.select("lang").distinct()
+        # raw-crawl batches may carry lang=NULL → mix them as the 'und'
+        # stratum rather than silently dropping them
+        lang_key = F.coalesce(F.col("lang"), F.lit("und"))
+        langs = corpus.select(lang_key.alias("source")).distinct()
         weights = langs.withColumn(
             "weight",
             F.coalesce(
                 *(
-                    [F.when(F.col("lang") == k, float(v)) for k, v in sorted(wmap.items())]
+                    [F.when(F.col("source") == k, float(v)) for k, v in sorted(wmap.items())]
                     + [F.lit(1.0)]
                 )
             ),
-        ).withColumnRenamed("lang", "source")
-        tok = corpus.withColumn("n_tokens", token_count(F.col("text_scrubbed")))
-        mixed = mixture_sample(
-            tok.withColumnRenamed("lang", "source"), weights,
-            token_budget=budget, id_col="url",
-        ).filter("mix_keep")
-        corpus = mixed.withColumnRenamed("source", "lang").select(
-            "url", "lang", "text_scrubbed"
         )
+        tok = corpus.withColumn(
+            "n_tokens", token_count(F.col("text_scrubbed"))
+        ).withColumn("source", lang_key)
+        mixed = mixture_sample(
+            tok, weights, token_budget=budget, id_col="url"
+        ).filter("mix_keep")
+        corpus = mixed.select("url", "lang", "text_scrubbed")
         stats["mixture_docs_kept"] = corpus.count()
         stats["mixture_tokens_kept"] = int(
             mixed.agg(F.sum("n_tokens")).first()[0] or 0

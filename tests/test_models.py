@@ -294,3 +294,21 @@ def test_perplexity_buckets_threshold_mode_has_no_window_sort(spark):
     assert "Window" not in thr_plan
     assert "percentile_approx" in thr_plan
     assert "Window" in rank_plan
+
+
+def test_langid_null_claim_skips_mismatch():
+    """Raw-crawl semantics: claimed lang None → no mismatch finding (score
+    None); a claimed-but-untrained lang still flags (score 0.0)."""
+    import pandas as pd
+
+    from data_quality_monitoring_spark.artifacts import get_langid_model
+
+    m = get_langid_model()
+    s = m.score_batch(
+        pd.Series(["the quick brown fox jumps over the lazy dog"] * 3),
+        pd.Series([None, "xx", "en"]),
+    )
+    assert s["claimed_score"].iloc[0] is None or pd.isna(s["claimed_score"].iloc[0])
+    assert s["claimed_score"].iloc[1] == 0.0
+    assert s["claimed_score"].iloc[2] > 0.5
+    assert s["pred_lang"].iloc[0] == "en"  # prediction still emitted
