@@ -342,3 +342,49 @@ def test_warc_parse_roundtrip_fuzz(recs):
         assert g["warc_type"] == rtype
         assert g["url"] == uri
         assert bytes(g["html"]) == body
+
+
+# ------------------------------------------------------------- mixture greedy
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc_id (deduped below)
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=1, max_value=400),  # n_tokens
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    budget=st.integers(min_value=1, max_value=3_000),
+)
+def test_mixture_sample_matches_python_greedy_fuzz(spark, docs, budget):
+    """The Spark window implementation agrees with an independent Python
+    greedy-prefix reference on arbitrary corpora and budgets."""
+    import hashlib
+
+    from data_quality_monitoring_spark.operators.sampling import mixture_sample
+
+    weights = {"a": 2.0, "b": 1.0}  # 'c' has no weight row → never kept
+    df = spark.createDataFrame(docs, "doc_id long, source string, n_tokens int")
+    wdf = spark.createDataFrame(list(weights.items()), "source string, weight double")
+    got = {
+        r["doc_id"]: r["mix_keep"]
+        for r in mixture_sample(df, wdf, token_budget=float(budget)).collect()
+    }
+
+    total_w = sum(weights.values())
+    want = {}
+    for src in {d[1] for d in docs}:
+        quota = budget * weights.get(src, 0.0) / total_w if src in weights else None
+        ordered = sorted(
+            (d for d in docs if d[1] == src),
+            key=lambda d: hashlib.md5(str(d[0]).encode()).hexdigest(),
+        )
+        cum = 0
+        for did, _, tok in ordered:
+            want[did] = quota is not None and cum < quota
+            cum += tok
+    assert got == want
