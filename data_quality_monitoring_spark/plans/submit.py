@@ -111,6 +111,13 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "any text-level work",
     )
     p.add_argument(
+        "--ppl-tiers",
+        action="store_true",
+        help="filter mode: add a CCNet head/middle/tail ppl_bucket column "
+        "(cuts from per-lang approx percentiles over a deterministic 10%% "
+        "sample — operators/perplexity.perplexity_buckets scale path)",
+    )
+    p.add_argument(
         "--mixture-budget", type=float, default=None,
         help="corpus mode: total token budget for source-weighted corpus "
         "mixing over lang (operators/sampling.mixture_sample)",
@@ -171,6 +178,32 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
 
     methods = _parse_methods(getattr(args, "methods", None))
 
+    tier_cuts = None
+    if getattr(args, "ppl_tiers", False):
+        # CCNet head/middle/tail cuts, estimated ONCE from a deterministic
+        # 10% md5-bucket sample (the scale path of
+        # operators/perplexity.perplexity_buckets — no global sort, and the
+        # cuts are a pure function of the input so resumed runs agree).
+        from ..operators.sampling import sample_bucket
+
+        sample = pages.filter(sample_bucket(F.col("url")) < 100)
+        if getattr(args, "extract_html", False):
+            from ..operators.extract import extract_pages
+
+            sample = extract_pages(sample)
+        scored = quality_filter(spark, sample, methods=["llm"]).select(
+            F.coalesce(F.col("lang"), F.lit("und")).alias("_bl"), "ppl_score"
+        )
+        tier_cuts = (
+            scored.filter(F.col("ppl_score").isNotNull())
+            .groupBy("_bl")
+            .agg(
+                F.percentile_approx("ppl_score", F.lit(1.0 / 3.0)).alias("_c1"),
+                F.percentile_approx("ppl_score", F.lit(2.0 / 3.0)).alias("_c2"),
+            )
+            .collect()
+        )
+
     def transform(slice_df):
         if getattr(args, "extract_html", False):
             from ..operators.extract import extract_pages
@@ -185,7 +218,25 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
                         "ppl_score", "mlq_score", "text_scrubbed", "bucket")
             if c in res.columns
         ]
-        return res.select(*keep_cols)
+        res = res.select(*keep_cols)
+        if tier_cuts is not None:
+            cuts_df = spark.createDataFrame(
+                [(r["_bl"], float(r["_c1"]), float(r["_c2"])) for r in tier_cuts],
+                "_bl string, _c1 double, _c2 double",
+            )
+            res = (
+                res.withColumn("_bl", F.coalesce(F.col("lang"), F.lit("und")))
+                .join(F.broadcast(cuts_df), "_bl", "left")
+                .withColumn(
+                    "ppl_bucket",
+                    F.when(F.col("ppl_score").isNull() | F.col("_c1").isNull(), "unscored")
+                    .when(F.col("ppl_score") <= F.col("_c1"), "head")
+                    .when(F.col("ppl_score") <= F.col("_c2"), "middle")
+                    .otherwise("tail"),
+                )
+                .drop("_bl", "_c1", "_c2")
+            )
+        return res
 
     def metrics_fn(written):
         # bucket-keyed so each chunk's metrics commit with its snapshot —

@@ -422,3 +422,27 @@ def test_corpus_mode_pack_budget(spark, tmp_path):
         | (F.col("start") >= (F.col("pack_id") + 1) * 256)
     ).count()
     assert bad == 0
+
+
+def test_filter_mode_ppl_tiers(spark, tmp_path):
+    """--ppl-tiers: CCNet head/middle/tail column lands in the output with
+    roughly balanced tiers per language, and the run stays resumable."""
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in")
+    generate_pages(spark, 320, partitions=4).write.parquet(in_dir)
+    args = build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out"),
+         "--ppl-tiers", "--n-buckets", "4", "--chunk-buckets", "2"]
+    )
+    run(spark, args)
+    out = spark.read.parquet(str(tmp_path / "out" / "data"))
+    assert "ppl_bucket" in out.columns
+    tiers = {r["ppl_bucket"] for r in out.select("ppl_bucket").distinct().collect()}
+    assert {"head", "tail"} <= tiers
+    # scored docs only ever get head/middle/tail
+    assert out.filter(
+        F.col("ppl_score").isNotNull() & (F.col("ppl_bucket") == "unscored")
+    ).count() <= out.filter(F.col("ppl_score").isNotNull()).count() * 0.2
+    # resume no-op still works with the tier column
+    assert run(spark, args)["chunks_run"] == 0
