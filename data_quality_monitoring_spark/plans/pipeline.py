@@ -56,6 +56,7 @@ def quality_filter(
     methods: list[str] | None = None,
     langid_model=None,
     bigram_models=None,
+    cascade: bool = False,
 ) -> DataFrame:
     """Attach findings, verdict, keep flag and scrubbed text to a pages df.
 
@@ -70,6 +71,21 @@ def quality_filter(
     ``langid_model`` / ``bigram_models`` override the frozen artifacts —
     used by the fully-oracled flagship contract query, which injects
     SQL-reproducible in-query-trained models through the SAME plan.
+
+    ``cascade=True`` skips the model scorers for documents the rule chain
+    already condemns: a validation finding drops the document
+    deterministically under BOTH combiners (priority puts validation
+    first; weighted lets validation win outright), so masking the scorer
+    input to NULL for those rows cannot change any keep/drop decision —
+    it only leaves their score columns NULL (tested).  The mask stays a
+    Column expression inside the same narrow stage — no join, no shuffle,
+    the 0-Exchange plan is preserved — but the Arrow scorers now do zero
+    Python work for condemned rows.  At web scale, where 30–60% of raw
+    pages die on cheap rules and real model scorers dominate cost (the
+    reference's LLM family is ~100–500 ms/record vs <1 ms for rules),
+    this is the difference between scoring the crawl and scoring the
+    corpus.  Off by default: the reference computes every family for
+    every row.
     """
     rules = rules if rules is not None else default_rules()
     pattern_cfg = pattern_cfg if pattern_cfg is not None else default_pattern_cfg()
@@ -77,24 +93,39 @@ def quality_filter(
 
     text, lang = F.col("text"), F.col("lang")
     cols: dict[str, Column] = {}
+    model_text = text
+    base = pages
     if "validation" in methods:
-        cols["f_validation"] = first_hit(text, rules, regex_engine)
+        if cascade:
+            # stage 0: rules first, so the scorer mask can reference them
+            base = pages.withColumn(
+                "f_validation", first_hit(text, rules, regex_engine)
+            )
+            model_text = F.when(F.col("f_validation").isNull(), text)
+        else:
+            cols["f_validation"] = first_hit(text, rules, regex_engine)
     if "pattern" in methods:
         cols["f_pattern"] = pattern_finding(lang, pattern_cfg)
     if "ml" in methods:
         cols["langid"] = L.langid_struct(
-            spark, langid_model if langid_model is not None else get_langid_model(), text, lang
+            spark,
+            langid_model if langid_model is not None else get_langid_model(),
+            model_text,
+            lang,
         )
     if "llm" in methods:
         cols["ppl_score"] = P.perplexity_column(
-            spark, bigram_models if bigram_models is not None else get_bigram_models(), text, lang
+            spark,
+            bigram_models if bigram_models is not None else get_bigram_models(),
+            model_text,
+            lang,
         )
     if "quality_model" in methods:  # opt-in learned quality tier
         from ..artifacts import get_quality_model
         from ..operators import quality_model as QM
 
-        cols["mlq_score"] = QM.quality_prob(spark, get_quality_model(), text)
-    df = pages.withColumns(cols)
+        cols["mlq_score"] = QM.quality_prob(spark, get_quality_model(), model_text)
+    df = base.withColumns(cols)
     stage2: dict[str, Column] = {}
     if "ml" in methods:
         stage2["f_ml"] = L.langid_finding(F.col("langid"), ml_threshold)

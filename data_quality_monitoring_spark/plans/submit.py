@@ -111,6 +111,14 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "any text-level work",
     )
     p.add_argument(
+        "--cascade",
+        action="store_true",
+        help="filter/incremental modes: skip the model scorers for "
+        "documents the rule chain already condemns (keep/drop provably "
+        "unchanged, their score columns NULL; ~15%% wall saved here, far "
+        "more with expensive scorers — plans/pipeline.quality_filter)",
+    )
+    p.add_argument(
         "--ppl-tiers",
         action="store_true",
         help="filter mode: add a CCNet head/middle/tail ppl_bucket column "
@@ -211,7 +219,7 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
             slice_df = extract_pages(slice_df)
         res = quality_filter(
             spark, slice_df, combine=args.combine, regex_engine=args.regex_engine,
-            methods=methods,
+            methods=methods, cascade=getattr(args, "cascade", False),
         )
         keep_cols = [
             c for c in ("url", "warc_ts", "lang", "keep", "verdict",
@@ -486,6 +494,7 @@ def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
     filtered = quality_filter(
         spark, pages, combine=args.combine, regex_engine=args.regex_engine,
         methods=_parse_methods(getattr(args, "methods", None)),
+        cascade=getattr(args, "cascade", False),
     )
     # persist: the dedup plan consumes this three times (feature pass,
     # batch count, final accepted write) — without the cache each pass

@@ -130,3 +130,37 @@ def test_quality_model_as_fifth_method(spark):
     assert not rows["u_junk"]["keep"]
     assert rows["u_junk"]["verdict"]["method"] == "quality_model"
     assert rows["u_junk"]["verdict"]["code"] == "LOW_QUALITY_MODEL"
+
+
+def test_cascade_preserves_keep_and_nulls_scores(spark):
+    """cascade=True: keep/drop identical under both combiners; scorer
+    columns NULL exactly where the rule chain already condemned the doc."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.datagen import generate_pages
+    from data_quality_monitoring_spark.plans.pipeline import quality_filter
+
+    pages = generate_pages(spark, 400, partitions=4).cache()
+    for combine in ("priority", "weighted"):
+        full = quality_filter(spark, pages, combine=combine).select(
+            "url", "keep", "f_validation", "ppl_score"
+        )
+        casc = quality_filter(spark, pages, combine=combine, cascade=True).select(
+            "url",
+            F.col("keep").alias("keep_c"),
+            F.col("f_validation").alias("fv_c"),
+            F.col("ppl_score").alias("ppl_c"),
+        )
+        j = full.join(casc, "url").cache()
+        assert j.filter("keep <> keep_c").count() == 0, combine
+        # condemned rows: scorers skipped → NULL score
+        assert j.filter("fv_c IS NOT NULL AND ppl_c IS NOT NULL").count() == 0
+        # surviving rows: identical scores
+        assert (
+            j.filter("fv_c IS NULL")
+            .filter("ppl_score IS DISTINCT FROM ppl_c")
+            .count()
+            == 0
+        )
+        j.unpersist()
+    pages.unpersist()
