@@ -2719,6 +2719,55 @@ FROM allf
 SQL_PIPELINE_VERDICT_FULL = _pipeline_verdict_full_sql()
 
 
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style host blocklist — FULLY ORACLED.  Pages get the
+    rules+pattern keep/drop verdict, then one map-side-combined groupBy
+    per host (host_id = doc_id % 101, the deterministic host family)
+    yields page/keep counts, keep rate, and the blocked verdict
+    (keep_rate < 0.5 at ≥20-page support).  DuckDB replays the full rule
+    chain (the `pipeline_rules_verdict` CTEs) and the aggregation."""
+    from .operators.hostquality import host_quality_stats
+    from .plans.pipeline import quality_filter
+
+    d = _read(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+        (F.col("doc_id") % 101).alias("host_id"),
+    )
+    res = quality_filter(spark, pages, methods=["validation", "pattern"])
+    stats = host_quality_stats(
+        res, host="host_id", keep="keep", min_support=20, min_keep_rate=0.5
+    )
+    return stats.select(
+        F.col("host").alias("host_id"),
+        "n_pages",
+        "n_kept",
+        F.round("keep_rate", 6).alias("keep_rate"),
+        "blocked",
+    )
+
+
+SQL_HOST_QUALITY = (
+    SQL_PIPELINE_RULES_VERDICT.split("\nSELECT url,")[0]
+    + """
+SELECT host_id,
+       count(*) AS n_pages,
+       (count(*) FILTER (WHERE keep))::BIGINT AS n_kept,
+       round((count(*) FILTER (WHERE keep))::DOUBLE / count(*), 6) AS keep_rate,
+       (count(*) >= 20 AND
+        (count(*) FILTER (WHERE keep))::DOUBLE / count(*) < 0.5) AS blocked
+FROM (SELECT CAST(substr(url, 7) AS BIGINT) % 101 AS host_id,
+             (vf IS NULL AND pp IS NULL) AS keep
+      FROM pf)
+GROUP BY host_id
+"""
+)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2735,6 +2784,7 @@ QUERIES = {
     "perplexity_buckets": q_perplexity_buckets,
     "url_canonical": q_url_canonical,
     "host_pagerank": q_host_pagerank,
+    "host_quality": q_host_quality,
     "corpus_mixture": q_corpus_mixture,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
@@ -2837,6 +2887,7 @@ ORACLES = {
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "url_canonical": SQL_URL_CANONICAL,
     "host_pagerank": SQL_HOST_PAGERANK,
+    "host_quality": SQL_HOST_QUALITY,
     "corpus_mixture": SQL_CORPUS_MIXTURE,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -38,7 +38,8 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--mode",
         choices=["filter", "corpus", "incremental", "single-demo", "multi-eval",
-                 "ml-curves", "ml-train", "llm-train", "analyze-column"],
+                 "ml-curves", "ml-train", "llm-train", "analyze-column",
+                 "host-stats"],
         default="filter",
         help="filter = resumable quality filter (default); corpus = filter "
         "+ dedup battery + optional sampling → final training corpus; "
@@ -119,6 +120,23 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "more with expensive scorers — plans/pipeline.quality_filter)",
     )
     p.add_argument(
+        "--host-blocklist",
+        help="filter/corpus/incremental modes: path to a host-stats output "
+        "(parquet of host, n_pages, n_kept, keep_rate, blocked); pages on "
+        "blocked hosts are dropped BEFORE any text-level work — the "
+        "RefinedWeb-style second pass over a previously-filtered dump",
+    )
+    p.add_argument(
+        "--host-min-keep-rate", type=float, default=0.5,
+        help="host-stats mode: block hosts whose per-document keep rate "
+        "is below this (default 0.5)",
+    )
+    p.add_argument(
+        "--host-min-support", type=int, default=20,
+        help="host-stats mode: never block hosts with fewer pages than "
+        "this (default 20)",
+    )
+    p.add_argument(
         "--ppl-tiers",
         action="store_true",
         help="filter mode: add a CCNet head/middle/tail ppl_bucket column "
@@ -171,6 +189,26 @@ def _parse_methods(raw: str | None) -> list[str] | None:
     return methods
 
 
+def _apply_host_blocklist(spark: SparkSession, pages, args):
+    """Drop pages on blocked hosts before any text-level work.
+
+    The blocklist is the small ``blocked`` projection of a host-stats
+    table (run_host_stats over a previously-filtered dump), broadcast —
+    the pages side stays a narrow scan (operators/hostquality.py)."""
+    path = getattr(args, "host_blocklist", None)
+    if not path:
+        return pages
+    from ..operators.hostquality import apply_host_blocklist
+    from ..operators.urls import url_host
+
+    stats = spark.read.parquet(path)
+    return (
+        apply_host_blocklist(pages, stats, host=url_host(F.col("url")))
+        .filter(~F.col("host_blocked"))
+        .drop("host_blocked")
+    )
+
+
 def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     if getattr(args, "input_format", "parquet") == "warc":
         from ..sources.warc import read_warc, warc_to_pages
@@ -182,6 +220,7 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
         from ..operators.urls import canonical_dedup
 
         pages = canonical_dedup(pages)
+    pages = _apply_host_blocklist(spark, pages, args)
     sink = PartitionedSink(args.output, args.n_buckets, args.chunk_buckets)
 
     methods = _parse_methods(getattr(args, "methods", None))
@@ -290,6 +329,7 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         from ..operators.urls import canonical_dedup
 
         pages = canonical_dedup(pages)
+    pages = _apply_host_blocklist(spark, pages, args)
     rates = json.loads(args.sample_rates) if args.sample_rates else None
     corpus, stats = build_corpus(
         spark, pages, jaccard_threshold=args.jaccard_threshold,
@@ -491,6 +531,7 @@ def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
         from ..operators.urls import canonical_dedup
 
         pages = canonical_dedup(pages)
+    pages = _apply_host_blocklist(spark, pages, args)
     filtered = quality_filter(
         spark, pages, combine=args.combine, regex_engine=args.regex_engine,
         methods=_parse_methods(getattr(args, "methods", None)),
@@ -541,6 +582,42 @@ def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
     return stats
 
 
+def run_host_stats(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """host-stats: aggregate a filtered dump (filter-mode ``data/`` output,
+    or anything with url + keep) into a per-host quality table → parquet
+    at --output, for --host-blocklist on the NEXT dump.  One
+    map-side-combined groupBy on host; Zipf host skew is absorbed by
+    partial aggregation (operators/hostquality.py)."""
+    from ..operators.hostquality import host_quality_stats
+    from ..operators.urls import url_host
+
+    df = spark.read.parquet(args.input).select(
+        url_host(F.col("url")).alias("host"), "keep"
+    )
+    stats = host_quality_stats(
+        df,
+        min_support=args.host_min_support,
+        min_keep_rate=args.host_min_keep_rate,
+    )
+    stats.write.mode("overwrite").parquet(args.output)
+    agg = (
+        spark.read.parquet(args.output)
+        .agg(
+            F.count(F.lit(1)).alias("hosts"),
+            F.sum(F.col("blocked").cast("long")).alias("blocked_hosts"),
+            F.sum(F.when(F.col("blocked"), F.col("n_pages")).otherwise(0)).alias(
+                "blocked_pages"
+            ),
+        )
+        .collect()[0]
+    )
+    return {
+        "hosts": agg["hosts"],
+        "blocked_hosts": agg["blocked_hosts"],
+        "blocked_pages": agg["blocked_pages"],
+    }
+
+
 _MODES = {
     "filter": run,
     "corpus": run_corpus,
@@ -551,6 +628,7 @@ _MODES = {
     "ml-train": run_ml_train,
     "llm-train": run_llm_train,
     "analyze-column": run_analyze_column,
+    "host-stats": run_host_stats,
 }
 
 
