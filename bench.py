@@ -45,6 +45,8 @@ HEADLINE = [
     "url_canonical",  # codegen-only crawl-dedup key (round 3)
     "corpus_mixture",  # source-weighted token-budget assembly (round 3)
     "host_pagerank",  # iterative link-graph reputation (round 3)
+    "host_quality",  # RefinedWeb host blocklist aggregation (round 3)
+    "link_edges",  # html→outlink host edges, pure codegen (round 3)
     "embedding_near_dup",
     "repetition_stats",
     "normalize_unicode",

@@ -2768,6 +2768,82 @@ GROUP BY host_id
 )
 
 
+def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction: raw HTML → host-level weighted edge list —
+    FULLY ORACLED.  HTML is synthesized deterministically from doc_id
+    arithmetic (mixed-case hrefs, single/double quotes, a relative link
+    and a mailto that must NOT become edges, a mod-5 duplicate link that
+    must count twice); ``operators.linkgraph.extract_link_edges`` runs
+    the codegen decode→regexp→explode→host chain and DuckDB replays it
+    with ``regexp_extract_all``+``unnest`` and the same host-canonical
+    regex chain as SQL_URL_CANONICAL."""
+    from .operators.linkgraph import extract_link_edges
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    html = F.concat(
+        F.lit('<html><a href="https://Site'), s(did % 53),
+        F.lit('.Example.COM/a">x</a>'),
+        F.lit("<A HREF='http://www.site"), s((did * 3 + 1) % 53),
+        F.lit(".example.com/b'>y</A>"),
+        F.lit('<a href="/rel">r</a>'),
+        F.when(did % 7 == 0, F.lit('<a href="mailto:x@y.z">m</a>')).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit('<a href="https://site'), s(did % 53),
+                F.lit('.example.com/c">z</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://src"), s(did % 31), F.lit(".example.com/p/"), s(did)
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return extract_link_edges(pages).select("src", "dst", "n_links")
+
+
+SQL_LINK_EDGES = r"""
+WITH pages AS (
+  SELECT 'src' || (doc_id % 31)::VARCHAR || '.example.com' AS src,
+    '<html><a href="https://Site' || (doc_id % 53)::VARCHAR || '.Example.COM/a">x</a>'
+    || '<A HREF=''http://www.site' || ((doc_id * 3 + 1) % 53)::VARCHAR || '.example.com/b''>y</A>'
+    || '<a href="/rel">r</a>'
+    || CASE WHEN doc_id % 7 = 0 THEN '<a href="mailto:x@y.z">m</a>' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN '<a href="https://site' || (doc_id % 53)::VARCHAR || '.example.com/c">z</a>'
+            ELSE '' END
+    || '</html>' AS html
+  FROM documents
+), hrefs AS (
+  SELECT src,
+         unnest(regexp_extract_all(html,
+           '(?i)href\s*=\s*["'']([^"'']+)["'']', 1)) AS href
+  FROM pages
+), edges AS (
+  SELECT src,
+    regexp_replace(lower(regexp_extract(regexp_extract(
+      regexp_replace(href, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+      '^([^/?#]*)', 1), '^([^:]*)', 1)), '^www\.', '') AS dst
+  FROM hrefs
+  WHERE regexp_matches(href, '(?i)^https?://')
+)
+SELECT src, dst, count(*)::BIGINT AS n_links
+FROM edges
+WHERE dst <> '' AND src <> dst
+GROUP BY src, dst
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2785,6 +2861,7 @@ QUERIES = {
     "url_canonical": q_url_canonical,
     "host_pagerank": q_host_pagerank,
     "host_quality": q_host_quality,
+    "link_edges": q_link_edges,
     "corpus_mixture": q_corpus_mixture,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
@@ -2888,6 +2965,7 @@ ORACLES = {
     "url_canonical": SQL_URL_CANONICAL,
     "host_pagerank": SQL_HOST_PAGERANK,
     "host_quality": SQL_HOST_QUALITY,
+    "link_edges": SQL_LINK_EDGES,
     "corpus_mixture": SQL_CORPUS_MIXTURE,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -103,3 +103,45 @@ def pagerank(
         nodes.unpersist()
         outdeg.unpersist()
         e_aug.unpersist()
+
+
+def extract_link_edges(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Host-level weighted edge list ``(src, dst, n_links)`` from anchor
+    hrefs in raw HTML — the front half of the crawl link graph
+    (``pagerank`` is the back half).
+
+    Pure codegen: UTF-8 decode via ``make_valid_utf8`` (malformed bytes
+    become replacement chars — ANSI ``decode`` would throw, and one bad
+    page must not kill a 100-TB job; same choice as
+    ``extract.html_to_text``), one ``regexp_extract_all`` for ``href`` values in
+    single or double quotes (case-insensitive), explode, then the
+    ``urls.url_host`` canonical-host chain on both ends.  Only absolute
+    http(s) targets become edges — relative links are same-host
+    navigation, mailto:/javascript:/fragment hrefs are not links to
+    hosts.  ``drop_self`` removes same-host edges (intra-site nav says
+    nothing about reputation).  One map-side-combined shuffle for the
+    per-edge count; no Python anywhere.
+    """
+    from .urls import url_host
+
+    hrefs = F.regexp_extract_all(
+        F.make_valid_utf8(F.col(html_col).cast("string")),
+        F.lit(r"""(?i)href\s*=\s*["']([^"']+)["']"""),
+        1,
+    )
+    exploded = pages.select(
+        url_host(F.col(url_col)).alias("src"), F.explode(hrefs).alias("href")
+    )
+    edges = (
+        exploded.filter(F.col("href").rlike(r"(?i)^https?://"))
+        .select("src", url_host(F.col("href")).alias("dst"))
+        .filter(F.col("dst") != "")
+    )
+    if drop_self:
+        edges = edges.filter(F.col("src") != F.col("dst"))
+    return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_links"))

@@ -350,3 +350,73 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_extract_link_edges(spark):
+    """href variants: double/single quotes, mixed case, relative + mailto
+    ignored, self-edges dropped, duplicate links counted, malformed UTF-8
+    tolerated."""
+    from pyspark.sql import Row
+
+    from data_quality_monitoring_spark.operators.linkgraph import (
+        extract_link_edges,
+    )
+
+    good = (
+        b'<html><a href="https://B.example.com/x">b</a>'
+        b"<A HREF='http://www.c.example.com/y'>c</A>"
+        b'<a href="/relative">r</a><a href="mailto:a@b.c">m</a>'
+        b'<a href="https://a.example.com/self">self</a>'
+        b'<a href="https://b.example.com/x2">b again</a></html>'
+    )
+    # invalid UTF-8 byte inside, then a valid link after it
+    mangled = b'<html>\xff\xfe<a href="HTTPS://d.example.com/z">d</a></html>'
+    pages = spark.createDataFrame(
+        [
+            Row(url="https://a.example.com/p", html=good),
+            Row(url="https://a.example.com/q", html=mangled),
+            Row(url="https://e.example.com/r", html=None),
+        ],
+        "url string, html binary",
+    )
+    got = {
+        (r["src"], r["dst"]): r["n_links"]
+        for r in extract_link_edges(pages).collect()
+    }
+    assert got == {
+        ("a.example.com", "b.example.com"): 2,  # duplicate link counted
+        ("a.example.com", "c.example.com"): 1,  # www + single quotes
+        ("a.example.com", "d.example.com"): 1,  # survives malformed bytes
+    }
+    # keep_self keeps the intra-host edge
+    with_self = {
+        (r["src"], r["dst"])
+        for r in extract_link_edges(pages, drop_self=False).collect()
+    }
+    assert ("a.example.com", "a.example.com") in with_self
+
+
+def test_link_edges_feed_pagerank(spark):
+    """The extracted edge list plugs straight into pagerank: a host every
+    page links to outranks one nobody links to."""
+    from pyspark.sql import Row
+
+    from data_quality_monitoring_spark.operators.linkgraph import (
+        extract_link_edges,
+        pagerank,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            Row(
+                url=f"https://h{i}.example.com/p",
+                html=b'<a href="https://hub.example.com/">hub</a>',
+            )
+            for i in range(6)
+        ],
+        "url string, html binary",
+    )
+    edges = extract_link_edges(pages)
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+    assert ranks["hub.example.com"] == max(ranks.values())
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
