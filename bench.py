@@ -47,6 +47,7 @@ HEADLINE = [
     "host_pagerank",  # iterative link-graph reputation (round 3)
     "host_quality",  # RefinedWeb host blocklist aggregation (round 3)
     "link_edges",  # html→outlink host edges, pure codegen (round 3)
+    "shuffled_shards",  # global training-shard shuffle (round 3)
     "embedding_near_dup",
     "repetition_stats",
     "normalize_unicode",

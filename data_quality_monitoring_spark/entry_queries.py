@@ -2844,6 +2844,36 @@ GROUP BY src, dst
 """
 
 
+def q_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global training-shard shuffle — FULLY ORACLED.
+    ``operators.packing.shuffle_shards`` assigns every document a
+    (shard, shard_pos) such that shard-order reading visits documents in
+    md5(seed:key) order — the pre-training i.i.d. shuffle.  DuckDB
+    replays the md5 shard gate and the per-shard row_number."""
+    from .operators.packing import shuffle_shards
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_shards(d, key="doc_id", n_shards=16, seed=0)
+    return out.select(
+        "doc_id", "shard", F.col("shard_pos").cast("long").alias("shard_pos")
+    )
+
+
+SQL_SHUFFLED_SHARDS = """
+WITH h AS (
+  SELECT doc_id, md5('0:' || doc_id::VARCHAR) AS hh FROM documents
+), s AS (
+  SELECT doc_id, hh,
+         (('0x' || substr(hh, 1, 8))::UBIGINT % 16)::BIGINT AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1)::BIGINT
+         AS shard_pos
+FROM s
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2862,6 +2892,7 @@ QUERIES = {
     "host_pagerank": q_host_pagerank,
     "host_quality": q_host_quality,
     "link_edges": q_link_edges,
+    "shuffled_shards": q_shuffled_shards,
     "corpus_mixture": q_corpus_mixture,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
@@ -2966,6 +2997,7 @@ ORACLES = {
     "host_pagerank": SQL_HOST_PAGERANK,
     "host_quality": SQL_HOST_QUALITY,
     "link_edges": SQL_LINK_EDGES,
+    "shuffled_shards": SQL_SHUFFLED_SHARDS,
     "corpus_mixture": SQL_CORPUS_MIXTURE,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

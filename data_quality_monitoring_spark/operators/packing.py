@@ -68,3 +68,38 @@ def pack_stats(packed: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic GLOBAL pseudo-random shuffle into training shards:
+    adds ``shard`` and ``shard_pos`` such that reading shards in order
+    visits documents in md5(seed:key) order — i.i.d.-looking, with
+    source/host/time locality broken (upstream the corpus is grouped by
+    exactly those).  Training loaders read ``shard = pmod(i)`` files
+    sequentially; re-shuffling between epochs is a new ``seed``.
+
+    Scale shape: shard assignment is a pure column function; the only
+    wide op is one hash-partitioned window per shard whose sort is
+    bounded to corpus/n_shards rows (size n_shards so a shard's keys fit
+    an executor's spillable sort, e.g. ~10M rows/shard at 10^12 docs →
+    n_shards 10^5).  No global sort, no driver state; md5 keeps the
+    layout bit-reproducible in any engine (the DuckDB oracle replays
+    it), invariant to input partitioning and retries.
+    """
+    h = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string"))
+    )
+    out = df.withColumn("__shuf", h).withColumn(
+        "shard",
+        F.conv(F.substring("__shuf", 1, 8), 16, 10).cast("long")
+        % F.lit(n_shards),
+    )
+    w = Window.partitionBy("shard").orderBy("__shuf", key)
+    return out.withColumn(
+        "shard_pos", F.row_number().over(w) - F.lit(1)
+    ).drop("__shuf")

@@ -137,6 +137,19 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "this (default 20)",
     )
     p.add_argument(
+        "--shuffle-shards", type=int,
+        help="corpus mode: also write corpus_shuffled/ — the final corpus "
+        "in deterministic md5-shuffled (shard, shard_pos) order, one "
+        "parquet partition per shard, so the training loader reads an "
+        "i.i.d. stream with host/lang/time locality broken "
+        "(operators/packing.shuffle_shards)",
+    )
+    p.add_argument(
+        "--shuffle-seed", type=int, default=0,
+        help="corpus mode: seed for --shuffle-shards; a new seed is a new "
+        "epoch-level reshuffle (default 0)",
+    )
+    p.add_argument(
         "--ppl-tiers",
         action="store_true",
         help="filter mode: add a CCNet head/middle/tail ppl_bucket column "
@@ -392,6 +405,22 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         )
         packed.write.mode("overwrite").parquet(f"{args.output}/corpus_packed")
         stats["packs"] = packed.select("lang", "shard", "pack_id").distinct().count()
+    n_shuf = getattr(args, "shuffle_shards", None)
+    if n_shuf:  # global pseudo-random order for the training loader
+        from ..operators.packing import shuffle_shards
+
+        shuf = shuffle_shards(
+            corpus, key="url", n_shards=n_shuf,
+            seed=getattr(args, "shuffle_seed", 0),
+        )
+        (
+            shuf.repartition(n_shuf, "shard")
+            .sortWithinPartitions("shard", "shard_pos")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{args.output}/corpus_shuffled")
+        )
+        stats["shuffle_shards"] = n_shuf
     Path(args.output, "corpus_stats.json").write_text(json.dumps(stats, indent=1))
     return stats
 

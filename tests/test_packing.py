@@ -144,3 +144,57 @@ def test_bpe_frozen_artifact_deterministic():
 
     texts = [t for lang in LANGS for t in training_texts(lang, 50)]
     assert tuple(train_bpe_pieces(texts, n_merges=200)) == get_bpe_pieces()
+
+
+def test_shuffle_shards_deterministic_and_partition_invariant(spark):
+    """(shard, shard_pos) is a pure function of (key, seed): identical
+    across input partitionings, different under a different seed."""
+    from data_quality_monitoring_spark.operators.packing import shuffle_shards
+
+    rows = [(f"https://h{i % 7}.example.com/p/{i}",) for i in range(300)]
+    a = spark.createDataFrame(rows, "url string").repartition(2)
+    b = spark.createDataFrame(rows, "url string").repartition(13)
+
+    out_a = {r["url"]: (r["shard"], r["shard_pos"])
+             for r in shuffle_shards(a, "url", n_shards=8, seed=0).collect()}
+    out_b = {r["url"]: (r["shard"], r["shard_pos"])
+             for r in shuffle_shards(b, "url", n_shards=8, seed=0).collect()}
+    assert out_a == out_b
+
+    reseeded = {r["url"]: (r["shard"], r["shard_pos"])
+                for r in shuffle_shards(a, "url", n_shards=8, seed=1).collect()}
+    assert reseeded != out_a
+
+    # positions are dense 0..n-1 within every shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, pos in out_a.values():
+        by_shard[shard].append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_shuffle_shards_breaks_host_locality(spark):
+    """Input arrives grouped by host; shard-order reading must interleave
+    hosts (adjacent-same-host rate collapses from 1.0 to ~1/n_hosts)."""
+    import pyspark.sql.functions as F
+
+    from data_quality_monitoring_spark.operators.packing import shuffle_shards
+
+    n_hosts, per_host = 10, 60
+    rows = [
+        (f"https://h{h}.example.com/p/{i}", f"h{h}")
+        for h in range(n_hosts)
+        for i in range(per_host)
+    ]
+    df = spark.createDataFrame(rows, "url string, host string")
+    out = (
+        shuffle_shards(df, "url", n_shards=4, seed=0)
+        .orderBy("shard", "shard_pos")
+        .select("host")
+        .collect()
+    )
+    hosts = [r["host"] for r in out]
+    same_adjacent = sum(a == b for a, b in zip(hosts, hosts[1:])) / (len(hosts) - 1)
+    assert same_adjacent < 0.3  # sorted input would be ~0.98

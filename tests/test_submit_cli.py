@@ -446,3 +446,31 @@ def test_filter_mode_ppl_tiers(spark, tmp_path):
     ).count() <= out.filter(F.col("ppl_score").isNotNull()).count() * 0.2
     # resume no-op still works with the tier column
     assert run(spark, args)["chunks_run"] == 0
+
+
+def test_corpus_mode_shuffle_shards(spark, tmp_path):
+    """corpus --shuffle-shards: corpus_shuffled/ holds every corpus doc
+    once, partitioned by shard with dense in-shard positions."""
+    from data_quality_monitoring_spark.plans.submit import run_corpus
+
+    in_dir = str(tmp_path / "in")
+    generate_pages(spark, 300, partitions=4).write.parquet(in_dir)
+    args = build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out"), "--mode",
+         "corpus", "--shuffle-shards", "4"]
+    )
+    stats = run_corpus(spark, args)
+    assert stats["shuffle_shards"] == 4
+    corpus = spark.read.parquet(str(tmp_path / "out" / "corpus"))
+    shuf = spark.read.parquet(str(tmp_path / "out" / "corpus_shuffled"))
+    assert shuf.count() == corpus.count()
+    assert shuf.select("url").distinct().count() == corpus.count()
+    assert shuf.select("shard").distinct().count() == 4
+    # dense positions per shard
+    from pyspark.sql import functions as F
+
+    agg = shuf.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("shard_pos").alias("mx"),
+        F.countDistinct("shard_pos").alias("nd"),
+    )
+    assert agg.filter((F.col("mx") != F.col("n") - 1) | (F.col("nd") != F.col("n"))).count() == 0
