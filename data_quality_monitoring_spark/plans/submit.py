@@ -39,7 +39,7 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--mode",
         choices=["filter", "corpus", "incremental", "single-demo", "multi-eval",
                  "ml-curves", "ml-train", "llm-train", "analyze-column",
-                 "host-stats"],
+                 "host-stats", "link-graph"],
         default="filter",
         help="filter = resumable quality filter (default); corpus = filter "
         "+ dedup battery + optional sampling → final training corpus; "
@@ -135,6 +135,11 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--host-min-support", type=int, default=20,
         help="host-stats mode: never block hosts with fewer pages than "
         "this (default 20)",
+    )
+    p.add_argument(
+        "--pagerank-iters", type=int, default=5,
+        help="link-graph mode: synchronous PageRank iterations over the "
+        "extracted host edge list (default 5)",
     )
     p.add_argument(
         "--shuffle-shards", type=int,
@@ -647,6 +652,33 @@ def run_host_stats(spark: SparkSession, args: argparse.Namespace) -> dict:
     }
 
 
+def run_link_graph(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """link-graph: raw pages (url + html) → host-level weighted edge list
+    + fixed-iteration PageRank → parquet ``edges/`` and ``ranks/`` at
+    --output (the Common-Crawl-style host web-graph artifact: crawl
+    prioritization, spam demotion, harvest budgeting).  Edge extraction
+    is one codegen pass (operators/linkgraph.extract_link_edges); ranks
+    re-read the materialized edges so the iterative job never re-parses
+    HTML."""
+    from ..operators.linkgraph import extract_link_edges, pagerank
+
+    pages = spark.read.parquet(args.input)
+    extract_link_edges(pages).write.mode("overwrite").parquet(
+        f"{args.output}/edges"
+    )
+    edges = spark.read.parquet(f"{args.output}/edges")
+    ranks = pagerank(edges, n_iter=args.pagerank_iters)
+    ranks.write.mode("overwrite").parquet(f"{args.output}/ranks")
+    ranks = spark.read.parquet(f"{args.output}/ranks")
+    top = ranks.orderBy(F.desc("rank")).first()
+    return {
+        "edges": edges.count(),
+        "hosts": ranks.count(),
+        "top_host": top["node"] if top else None,
+        "top_rank": float(top["rank"]) if top else None,
+    }
+
+
 _MODES = {
     "filter": run,
     "corpus": run_corpus,
@@ -658,6 +690,7 @@ _MODES = {
     "llm-train": run_llm_train,
     "analyze-column": run_analyze_column,
     "host-stats": run_host_stats,
+    "link-graph": run_link_graph,
 }
 
 

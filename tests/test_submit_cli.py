@@ -474,3 +474,38 @@ def test_corpus_mode_shuffle_shards(spark, tmp_path):
         F.countDistinct("shard_pos").alias("nd"),
     )
     assert agg.filter((F.col("mx") != F.col("n") - 1) | (F.col("nd") != F.col("n"))).count() == 0
+
+
+def test_link_graph_mode(spark, tmp_path):
+    """link-graph mode: pages with anchor HTML → edges/ + ranks/ parquet;
+    the universally-linked hub tops the ranks."""
+    from pyspark.sql import Row
+
+    from data_quality_monitoring_spark.plans.submit import (
+        build_args,
+        run_link_graph,
+    )
+
+    in_dir = str(tmp_path / "pages")
+    rows = [
+        Row(
+            url=f"https://h{i}.example.com/p",
+            html=(
+                b'<a href="https://hub.example.com/">hub</a>'
+                b'<a href="https://h' + str((i + 1) % 8).encode()
+                + b'.example.com/">next</a>'
+            ),
+        )
+        for i in range(8)
+    ]
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(in_dir)
+    out = str(tmp_path / "graph")
+    summary = run_link_graph(spark, build_args(
+        ["--mode", "link-graph", "--input", in_dir, "--output", out,
+         "--pagerank-iters", "5"]))
+    assert summary["top_host"] == "hub.example.com"
+    assert summary["hosts"] == 9  # 8 sources + hub
+    edges = spark.read.parquet(f"{out}/edges")
+    assert edges.filter("dst = 'hub.example.com'").count() == 8
+    ranks = spark.read.parquet(f"{out}/ranks")
+    assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-9
