@@ -48,6 +48,8 @@ HEADLINE = [
     "host_quality",  # RefinedWeb host blocklist aggregation (round 3)
     "link_edges",  # html→outlink host edges, pure codegen (round 3)
     "shuffled_shards",  # global training-shard shuffle (round 3)
+    "pack_texts",  # loader-ready pack materialization (round 3)
+    "noindex_pages",  # robots-meta opt-out detection (round 3)
     "embedding_near_dup",
     "repetition_stats",
     "normalize_unicode",

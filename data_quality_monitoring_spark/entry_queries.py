@@ -2874,6 +2874,107 @@ FROM s
 """
 
 
+def q_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack MATERIALIZATION — FULLY ORACLED.  Downstream of offset
+    packing: one row per (lang, shard, pack_id) with the member texts
+    concatenated in pack order (chr(30) as the EOS stand-in).  DuckDB
+    replays the packing window then ``string_agg(text ORDER BY
+    doc_id)`` — any divergence in assignment, order, or text bytes
+    fails the hash."""
+    from .operators.packing import materialize_packs, pack_documents
+
+    d = _read(spark, sf_dir, "documents")
+    packed = pack_documents(
+        d, "doc_id", PACK_BUDGET, group_cols=("lang",), n_shards=PACK_SHARDS
+    )
+    out = materialize_packs(
+        packed, "doc_id", group_cols=("lang",), sep="\x1e"
+    )
+    return out.select(
+        "lang", "shard", "pack_id", "pack_text",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def _pack_texts_sql() -> str:
+    from .operators.sampling import sample_bucket_sql
+
+    shard = f"({sample_bucket_sql('doc_id')} % {PACK_SHARDS})"
+    stripped = f"regexp_replace(text, '^{_WS_SQL}+|{_WS_SQL}+$', '', 'g')"
+    n_tok = (
+        f"CASE WHEN {stripped} = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array({stripped}, '{_WS_SQL}+')) END"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {n_tok} AS n_tokens, {shard} AS shard
+  FROM documents WHERE {n_tok} > 0
+), p AS (
+  SELECT lang, shard, doc_id, text, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start
+  FROM t
+)
+SELECT lang, shard, floor(start / {PACK_BUDGET})::BIGINT AS pack_id,
+       string_agg(text, chr(30) ORDER BY doc_id) AS pack_text,
+       count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+FROM p GROUP BY lang, shard, pack_id
+"""
+
+
+SQL_PACK_TEXTS = _pack_texts_sql()
+
+
+def q_noindex_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots-meta opt-out detection — FULLY ORACLED.  Five synthesized
+    HTML variants per doc_id mod class: noindex in normal and reversed
+    attribute order (both must flag), index-only content, no meta at
+    all, and a noindex string under a non-robots meta name (none may
+    flag).  DuckDB runs the IDENTICAL regex via regexp_matches."""
+    from .operators.extract import robots_noindex
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    meta = (
+        F.when(did % 5 == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(did % 5 == 1, F.lit("<meta content='NOINDEX' name=robots>"))
+        .when(did % 5 == 2, F.lit('<meta name="robots" content="index, follow">'))
+        .when(did % 5 == 3, F.lit(""))
+        .otherwise(F.lit('<meta name="description" content="noindex in prose">'))
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><head>"), meta, F.lit("</head><body>x</body></html>")),
+        "UTF-8",
+    )
+    return d.select("doc_id", robots_noindex(html).alias("noindex"))
+
+
+def _noindex_sql() -> str:
+    from .operators.extract import NOINDEX_PATTERN
+
+    pat = NOINDEX_PATTERN.replace("'", "''")
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head>' ||
+    CASE doc_id % 5
+      WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+      WHEN 1 THEN '<meta content=''NOINDEX'' name=robots>'
+      WHEN 2 THEN '<meta name="robots" content="index, follow">'
+      WHEN 3 THEN ''
+      ELSE '<meta name="description" content="noindex in prose">'
+    END || '</head><body>x</body></html>' AS html
+  FROM documents
+)
+SELECT doc_id, regexp_matches(html, '{pat}') AS noindex FROM h
+"""
+
+
+SQL_NOINDEX_PAGES = _noindex_sql()
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2893,6 +2994,8 @@ QUERIES = {
     "host_quality": q_host_quality,
     "link_edges": q_link_edges,
     "shuffled_shards": q_shuffled_shards,
+    "pack_texts": q_pack_texts,
+    "noindex_pages": q_noindex_pages,
     "corpus_mixture": q_corpus_mixture,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
@@ -3000,6 +3103,8 @@ ORACLES = {
     "host_quality": SQL_HOST_QUALITY,
     "link_edges": SQL_LINK_EDGES,
     "shuffled_shards": SQL_SHUFFLED_SHARDS,
+    "pack_texts": SQL_PACK_TEXTS,
+    "noindex_pages": SQL_NOINDEX_PAGES,
     "corpus_mixture": SQL_CORPUS_MIXTURE,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

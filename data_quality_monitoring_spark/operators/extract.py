@@ -192,3 +192,23 @@ def wrap_html_sql(text_expr: str, id_expr: str) -> str:
         + esc
         + " || '</p></body></html>'"
     )
+
+
+# <meta name=robots content="... noindex ..."> in either attribute order,
+# any quoting/case.  RE2- and Java-regex compatible (used verbatim by the
+# DuckDB oracle).
+NOINDEX_PATTERN = (
+    r"(?is)<meta\s[^>]*(?:"
+    r"name\s*=\s*[\"']?robots\b[^>]*content\s*=\s*[\"']?[^\"'>]*\bnoindex"
+    r"|content\s*=\s*[\"']?[^\"'>]*\bnoindex[^>]*name\s*=\s*[\"']?robots\b"
+    r")"
+)
+
+
+def robots_noindex(html: Column) -> Column:
+    """True when the page opts out via a robots noindex meta tag —
+    responsible pipelines honor it before training on a page (C4 and
+    successors drop these at ingest).  NULL html → false (no opt-out
+    signal).  Pure codegen: make_valid_utf8 + one rlike; no Python."""
+    flagged = F.make_valid_utf8(html.cast("string")).rlike(NOINDEX_PATTERN)
+    return F.coalesce(flagged, F.lit(False))

@@ -103,3 +103,34 @@ def shuffle_shards(
     return out.withColumn(
         "shard_pos", F.row_number().over(w) - F.lit(1)
     ).drop("__shuf")
+
+
+def materialize_packs(
+    packed: DataFrame,
+    key: str,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = (),
+    sep: str = "\n\n",
+) -> DataFrame:
+    """One row per pack: member documents concatenated in pack order
+    (``sep`` stands in for the tokenizer's EOS/document separator) plus
+    ``n_docs`` / ``total_tokens`` — the final materialization a training
+    loader actually reads, downstream of :func:`pack_documents`.
+
+    Scale shape: one groupBy over (group, shard, pack_id).  Each group
+    is bounded by the token budget (a pack is ~budget tokens however big
+    the corpus), so the ``collect_list`` is small by construction and
+    the shuffle moves each text byte exactly once — there is no cheaper
+    way to materialize concatenated packs.  In-pack order is
+    ``array_sort`` on the pack key, the same order the packing window
+    used, so output is bit-deterministic and partitioning-invariant.
+    """
+    item = F.struct(F.col(key).alias("k"), F.col(text_col).alias("t"))
+    ordered = F.array_sort(F.collect_list(item))
+    return packed.groupBy(*group_cols, "shard", "pack_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["t"]), sep
+        ).alias("pack_text"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -137,6 +137,18 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "this (default 20)",
     )
     p.add_argument(
+        "--honor-noindex", action="store_true",
+        help="filter/corpus/incremental modes: drop pages carrying a "
+        "<meta name=robots content=...noindex...> opt-out before any "
+        "text-level work (requires an html column; no-op without one)",
+    )
+    p.add_argument(
+        "--pack-texts", action="store_true",
+        help="corpus mode, with --pack-budget: also write corpus_packs/ — "
+        "one row per pack with member texts concatenated in pack order "
+        "(chr(30) separator), the layout a training loader streams",
+    )
+    p.add_argument(
         "--pagerank-iters", type=int, default=5,
         help="link-graph mode: synchronous PageRank iterations over the "
         "extracted host edge list (default 5)",
@@ -207,6 +219,17 @@ def _parse_methods(raw: str | None) -> list[str] | None:
     return methods
 
 
+def _apply_noindex(pages, args):
+    """Drop robots-noindex opt-outs at ingest (operators/extract.py).
+    Codegen rlike on the raw html — runs before extraction so opted-out
+    pages never cost a downstream cycle."""
+    if not getattr(args, "honor_noindex", False) or "html" not in pages.columns:
+        return pages
+    from ..operators.extract import robots_noindex
+
+    return pages.filter(~robots_noindex(F.col("html")))
+
+
 def _apply_host_blocklist(spark: SparkSession, pages, args):
     """Drop pages on blocked hosts before any text-level work.
 
@@ -238,6 +261,7 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
         from ..operators.urls import canonical_dedup
 
         pages = canonical_dedup(pages)
+    pages = _apply_noindex(pages, args)
     pages = _apply_host_blocklist(spark, pages, args)
     sink = PartitionedSink(args.output, args.n_buckets, args.chunk_buckets)
 
@@ -347,6 +371,7 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         from ..operators.urls import canonical_dedup
 
         pages = canonical_dedup(pages)
+    pages = _apply_noindex(pages, args)
     pages = _apply_host_blocklist(spark, pages, args)
     rates = json.loads(args.sample_rates) if args.sample_rates else None
     corpus, stats = build_corpus(
@@ -410,6 +435,13 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         )
         packed.write.mode("overwrite").parquet(f"{args.output}/corpus_packed")
         stats["packs"] = packed.select("lang", "shard", "pack_id").distinct().count()
+        if getattr(args, "pack_texts", False):  # loader-ready concatenation
+            from ..operators.packing import materialize_packs
+
+            materialize_packs(
+                packed, "url", text_col="text_scrubbed",
+                group_cols=("lang",), sep="\x1e",
+            ).write.mode("overwrite").parquet(f"{args.output}/corpus_packs")
     n_shuf = getattr(args, "shuffle_shards", None)
     if n_shuf:  # global pseudo-random order for the training loader
         from ..operators.packing import shuffle_shards
@@ -565,6 +597,7 @@ def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
         from ..operators.urls import canonical_dedup
 
         pages = canonical_dedup(pages)
+    pages = _apply_noindex(pages, args)
     pages = _apply_host_blocklist(spark, pages, args)
     filtered = quality_filter(
         spark, pages, combine=args.combine, regex_engine=args.regex_engine,

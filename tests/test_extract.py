@@ -245,3 +245,33 @@ def test_warc_source_roundtrip(spark, tmp_path):
     assert pages.schema.simpleString() == (
         "struct<url:string,warc_ts:timestamp,html:binary,text:string,lang:string>"
     )
+
+
+def test_robots_noindex_variants(spark):
+    """Both attribute orders and any case flag; non-robots meta, index-only
+    content, absent meta, and NULL html do not."""
+    from pyspark.sql import Row
+
+    from data_quality_monitoring_spark.operators.extract import robots_noindex
+
+    cases = [
+        (b'<meta name="robots" content="noindex, nofollow">', True),
+        (b"<meta content='NOINDEX' name=robots>", True),
+        (b"<META NAME=ROBOTS CONTENT=noindex>", True),
+        (b'<meta name="robots" content="index, follow">', False),
+        (b"<html>no meta at all</html>", False),
+        (b'<meta name="description" content="noindex in prose">', False),
+        (None, False),
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, html=h) for i, (h, _) in enumerate(cases)],
+        "i int, html binary",
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["i"]: r["flag"]
+        for r in df.select("i", robots_noindex(F.col("html")).alias("flag")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] is want, (i, cases[i])

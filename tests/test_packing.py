@@ -198,3 +198,36 @@ def test_shuffle_shards_breaks_host_locality(spark):
     hosts = [r["host"] for r in out]
     same_adjacent = sum(a == b for a, b in zip(hosts, hosts[1:])) / (len(hosts) - 1)
     assert same_adjacent < 0.3  # sorted input would be ~0.98
+
+
+def test_materialize_packs_order_and_totals(spark):
+    """Pack text concatenates members in window (key) order with the
+    separator; totals match the assignment; partitioning-invariant."""
+    import pyspark.sql.functions as F
+
+    from data_quality_monitoring_spark.operators.packing import (
+        materialize_packs,
+        pack_documents,
+    )
+
+    rows = [(f"k{i:03d}", "w " * (i % 5 + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, text string")
+    packed = pack_documents(df, "k", budget=8, n_shards=2)
+    out = materialize_packs(packed, "k", sep="\x1e")
+    chk = {(r["shard"], r["pack_id"]): r for r in out.collect()}
+
+    exp = {}
+    for r in packed.orderBy("k").collect():
+        e = exp.setdefault((r["shard"], r["pack_id"]), {"texts": [], "tok": 0})
+        e["texts"].append(r["text"])
+        e["tok"] += r["n_tokens"]
+    assert set(chk) == set(exp)
+    for kk, e in exp.items():
+        assert chk[kk]["pack_text"] == "\x1e".join(e["texts"])
+        assert chk[kk]["total_tokens"] == e["tok"]
+        assert chk[kk]["n_docs"] == len(e["texts"])
+
+    again = materialize_packs(
+        pack_documents(df.repartition(7), "k", budget=8, n_shards=2), "k", sep="\x1e"
+    )
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}

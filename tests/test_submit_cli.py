@@ -509,3 +509,52 @@ def test_link_graph_mode(spark, tmp_path):
     assert edges.filter("dst = 'hub.example.com'").count() == 8
     ranks = spark.read.parquet(f"{out}/ranks")
     assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-9
+
+
+def test_filter_mode_honor_noindex(spark, tmp_path):
+    """--honor-noindex drops opted-out pages at ingest; without the flag
+    they flow through."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.plans.submit import build_args, run
+
+    in_dir = str(tmp_path / "in")
+    pages = generate_pages(spark, 200, partitions=4).withColumn(
+        "html",
+        F.when(
+            F.col("url").endswith("0"),
+            F.lit(b'<html><head><meta name="robots" content="noindex"></head></html>'),
+        ).otherwise(F.col("html")),
+    )
+    pages.write.parquet(in_dir)
+    n_optout = pages.filter(F.col("url").endswith("0")).count()
+    assert n_optout > 0
+
+    out = str(tmp_path / "out")
+    run(spark, build_args(
+        ["--input", in_dir, "--output", out, "--n-buckets", "4",
+         "--honor-noindex"]))
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == 200 - n_optout
+    assert data.filter(F.col("url").endswith("0")).count() == 0
+
+
+def test_corpus_mode_pack_texts(spark, tmp_path):
+    """corpus --pack-budget --pack-texts writes loader-ready concatenated
+    packs consistent with corpus_packed."""
+    from data_quality_monitoring_spark.plans.submit import run_corpus
+
+    in_dir = str(tmp_path / "in")
+    generate_pages(spark, 300, partitions=4).write.parquet(in_dir)
+    run_corpus(spark, build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out"), "--mode",
+         "corpus", "--pack-budget", "256", "--pack-texts"]))
+    packed = spark.read.parquet(str(tmp_path / "out" / "corpus_packed"))
+    packs = spark.read.parquet(str(tmp_path / "out" / "corpus_packs"))
+    assert packs.count() == packed.select("lang", "shard", "pack_id").distinct().count()
+    from pyspark.sql import functions as F
+
+    joined = packs.withColumn(
+        "n_sep", F.size(F.split("pack_text", "\x1e")) 
+    )
+    assert joined.filter(F.col("n_sep") != F.col("n_docs")).count() == 0
