@@ -85,3 +85,34 @@ def apply_host_blocklist(
         .withColumn("host_blocked", F.coalesce(F.col("__bl"), F.lit(False)))
         .drop("__bl_host", "__bl")
     )
+
+
+def merge_host_stats(
+    a: DataFrame,
+    b: DataFrame,
+    min_support: int = 20,
+    min_keep_rate: float = 0.5,
+) -> DataFrame:
+    """Accumulate host-quality stats across dumps: counts sum, keep rate
+    and the blocked verdict are recomputed over the union — so a host
+    below the support floor in any single month still gets condemned
+    once its cumulative evidence clears it.  Same shape as
+    ``host_quality_stats`` output in and out; one map-side-combined
+    groupBy, no joins."""
+    cols = ["host", "n_pages", "n_kept"]
+    out = (
+        a.select(*cols)
+        .unionByName(b.select(*cols))
+        .groupBy("host")
+        .agg(F.sum("n_pages").alias("n_pages"), F.sum("n_kept").alias("n_kept"))
+    )
+    rate = F.col("n_kept") / F.col("n_pages")
+    return out.select(
+        "host",
+        "n_pages",
+        "n_kept",
+        rate.alias("keep_rate"),
+        ((F.col("n_pages") >= min_support) & (rate < min_keep_rate)).alias(
+            "blocked"
+        ),
+    )

@@ -137,6 +137,13 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "this (default 20)",
     )
     p.add_argument(
+        "--host-stats-merge",
+        help="host-stats mode: path to a previous host-stats output; the "
+        "new dump's counts are accumulated onto it before the blocked "
+        "verdict is recomputed, so low-traffic hosts condemn once their "
+        "cumulative evidence clears the support floor",
+    )
+    p.add_argument(
         "--honor-noindex", action="store_true",
         help="filter/corpus/incremental modes: drop pages carrying a "
         "<meta name=robots content=...noindex...> opt-out before any "
@@ -666,6 +673,15 @@ def run_host_stats(spark: SparkSession, args: argparse.Namespace) -> dict:
         min_support=args.host_min_support,
         min_keep_rate=args.host_min_keep_rate,
     )
+    prev = getattr(args, "host_stats_merge", None)
+    if prev:  # accumulate this dump onto the running cross-dump stats
+        from ..operators.hostquality import merge_host_stats
+
+        stats = merge_host_stats(
+            spark.read.parquet(prev), stats,
+            min_support=args.host_min_support,
+            min_keep_rate=args.host_min_keep_rate,
+        )
     stats.write.mode("overwrite").parquet(args.output)
     agg = (
         spark.read.parquet(args.output)

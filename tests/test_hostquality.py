@@ -107,3 +107,66 @@ def test_cli_host_stats_roundtrip(spark, tmp_path):
     assert n_blocked_pages == summary["blocked_pages"]
     assert d2.count() == d1.count() - n_blocked_pages
     assert d2.filter(url_host(F.col("url")).isin(list(blocked))).count() == 0
+
+
+def test_merge_host_stats_accumulates_support(spark):
+    """A host below the support floor in each single month condemns once
+    cumulative counts clear it; verdicts recompute over the union."""
+    from pyspark.sql import Row
+
+    from data_quality_monitoring_spark.operators.hostquality import (
+        host_quality_stats,
+        merge_host_stats,
+    )
+
+    month = spark.createDataFrame(
+        [Row(host="slowspam.example", keep=i < 3) for i in range(12)]
+        + [Row(host="good.example", keep=True) for _ in range(30)],
+        "host string, keep boolean",
+    )
+    m1 = host_quality_stats(month, min_support=20, min_keep_rate=0.5)
+    assert {r["host"]: r["blocked"] for r in m1.collect()} == {
+        "slowspam.example": False,  # 12 pages < 20 support
+        "good.example": False,
+    }
+    merged = merge_host_stats(m1, m1, min_support=20, min_keep_rate=0.5)
+    got = {r["host"]: r for r in merged.collect()}
+    assert got["slowspam.example"]["n_pages"] == 24
+    assert got["slowspam.example"]["blocked"] is True  # cumulative evidence
+    assert got["good.example"]["blocked"] is False
+
+
+def test_cli_host_stats_merge(spark, tmp_path):
+    """host-stats --host-stats-merge: second month accumulates onto the
+    first month's table."""
+    from data_quality_monitoring_spark.datagen import generate_pages
+    from data_quality_monitoring_spark.plans.submit import (
+        build_args,
+        run,
+        run_host_stats,
+    )
+
+    in_dir = str(tmp_path / "in")
+    generate_pages(spark, 300, partitions=4).write.parquet(in_dir)
+    out = str(tmp_path / "f")
+    run(spark, build_args(["--input", in_dir, "--output", out, "--n-buckets", "4"]))
+
+    h1 = str(tmp_path / "h1")
+    s1 = run_host_stats(spark, build_args(
+        ["--mode", "host-stats", "--input", f"{out}/data", "--output", h1]))
+    h2 = str(tmp_path / "h2")
+    run_host_stats(spark, build_args(
+        ["--mode", "host-stats", "--input", f"{out}/data", "--output", h2,
+         "--host-stats-merge", h1]))
+    t1 = spark.read.parquet(h1)
+    t2 = spark.read.parquet(h2)
+    assert s1["hosts"] == t1.count() == t2.count()
+    import pyspark.sql.functions as F
+
+    doubled = (
+        t1.alias("a")
+        .join(t2.alias("b"), "host")
+        .filter(F.col("b.n_pages") != F.col("a.n_pages") * 2)
+        .count()
+    )
+    assert doubled == 0
