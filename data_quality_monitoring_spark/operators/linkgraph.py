@@ -140,7 +140,7 @@ def extract_link_edges(
     edges = (
         exploded.filter(F.col("href").rlike(r"(?i)^https?://"))
         .select("src", url_host(F.col("href")).alias("dst"))
-        .filter(F.col("dst") != "")
+        .filter((F.col("dst") != "") & (F.col("src") != ""))
     )
     if drop_self:
         edges = edges.filter(F.col("src") != F.col("dst"))
