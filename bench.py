@@ -51,6 +51,9 @@ HEADLINE = [
     "pack_texts",  # loader-ready pack materialization (round 3)
     "noindex_pages",  # robots-meta opt-out detection (round 3)
     "embedding_near_dup",
+    "semantic_dedup",  # SemDeDup cluster-prune (round 3, late)
+    "fuzzy_decontamination",  # minhash eval-leak decontamination (round 3, late)
+    "dsir_sample",  # DSIR importance resampling (round 3, late)
     "repetition_stats",
     "normalize_unicode",
     "multifield_cells",

@@ -2975,6 +2975,201 @@ SELECT doc_id, regexp_matches(html, '{pat}') AS noindex FROM h
 SQL_NOINDEX_PAGES = _noindex_sql()
 
 
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse cells from the same
+    deterministic seed centroids as ann_ivf (corpus vectors 100..107,
+    L2-normalized — SQL-recomputable), then within-cell cosine pruning at
+    0.9 with keep-first-by-id semantics.  The planted twin family from
+    embedding_near_dup (cos ≈ 0.97 vs 0.51 max background) guarantees real
+    semantic dups exist; twins that land in their original's cell are
+    dropped, which is exactly SemDeDup's clustering-bounded recall."""
+    import numpy as np
+
+    from .operators.similarity import semantic_dedup
+
+    e = _read(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    rot = F.concat(F.slice("embedding", 2, 1_000_000), F.slice("embedding", 1, 1))
+    dup = base.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with("embedding", rot, lambda x, y: x + F.lit(0.25) * y).alias("embedding"),
+    )
+    seeds = (
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = np.asarray([r["embedding"] for r in seeds], dtype="float64")
+    cents = cents / np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
+    return semantic_dedup(
+        base.unionAll(dup), "vec_id", "embedding", cents, threshold=0.9, round_to=5
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH seeds AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id BETWEEN 100 AND 107
+), base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), twin AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(list_zip(v, list_concat(v[2:], [v[1]])),
+                        t -> t[1] + 0.25 * t[2]) AS v
+  FROM base WHERE vec_id < 40
+), allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM twin
+), cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(v, x -> x / greatest(sqrt(list_sum(list_transform(v, x -> x * x))), 1e-12)) AS cv
+  FROM seeds
+), assign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT a.vec_id, a.v, ct.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_sum(list_transform(list_zip(a.v, ct.cv), p -> p[1] * p[2])) DESC,
+                      ct.cell ASC) AS rn
+    FROM allv a CROSS JOIN cent ct
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT b.vec_id AS vid,
+         list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+          * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), dup AS (
+  SELECT vid, max(cos) AS dc FROM pairs WHERE cos >= 0.9 GROUP BY vid
+)
+SELECT m.vec_id, m.cell, round(dup.dc, 5) AS dup_cos,
+       CASE WHEN dup.dc IS NULL THEN 1 ELSE 0 END AS keep
+FROM assign m LEFT JOIN dup ON m.vec_id = dup.vid
+"""
+
+
+# ------------------------------------------- fuzzy (minhash) decontamination
+
+def q_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate eval-set decontamination (dedup.fuzzy_decontaminate):
+    docs with doc_id < 10 play the benchmark; MinHash-LSH (4 seeded md5
+    bands over 3-word shingles) proposes candidates, exact shingle-Jaccard
+    ≥ 0.5 confirms.  Benchmark docs self-match at 1.0 (recall floor) and
+    their near-dup family members surface below it; Jaccard is exact
+    integer arithmetic so both engines agree bit-for-bit."""
+    from .operators.dedup import fuzzy_decontaminate
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bid"), "text"
+    )
+    return fuzzy_decontaminate(
+        d, bench, "doc_id", "bid", k=3, n_bands=4, threshold=0.5
+    )
+
+
+SQL_FUZZY_DECONTAMINATION = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_SQL.format(c="text")} AS words FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM t
+), bsh AS (
+  SELECT doc_id AS bid, s FROM sh WHERE doc_id < 10
+), csig0 AS (
+  SELECT doc_id,
+         min(md5('0' || s)) AS h0, min(md5('1' || s)) AS h1,
+         min(md5('2' || s)) AS h2, min(md5('3' || s)) AS h3
+  FROM sh GROUP BY doc_id
+), csig AS (
+  SELECT doc_id, 0 AS band, h0 AS sig FROM csig0
+  UNION ALL SELECT doc_id, 1, h1 FROM csig0
+  UNION ALL SELECT doc_id, 2, h2 FROM csig0
+  UNION ALL SELECT doc_id, 3, h3 FROM csig0
+), bsig AS (
+  SELECT doc_id AS bid, band, sig FROM csig WHERE doc_id < 10
+), cands AS (
+  SELECT DISTINCT c.doc_id, b.bid
+  FROM csig c JOIN bsig b ON c.band = b.band AND c.sig = b.sig
+), inter AS (
+  SELECT sh.doc_id, bsh.bid, count(*) AS i
+  FROM sh JOIN bsh USING (s) JOIN cands ON cands.doc_id = sh.doc_id AND cands.bid = bsh.bid
+  GROUP BY sh.doc_id, bsh.bid
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+)
+SELECT i.doc_id, i.bid AS bench_id,
+       round(i.i::DOUBLE / (sc.n + sb.n - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sc ON sc.doc_id = i.doc_id
+             JOIN sizes sb ON sb.doc_id = i.bid
+WHERE i.i::DOUBLE / (sc.n + sb.n - i.i) >= 0.5
+"""
+
+
+# ------------------------------------------- DSIR importance resampling
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resample (sampling.dsir_sample): hashed unigram ∪
+    bigram bucket LMs (md5 % 4096, add-0.5 smoothing) fit to the lang='en'
+    target slice and the raw corpus; per-doc mean log-ratio + key-seeded
+    Gumbel noise; top-100 by the ROUNDED score (ties → doc_id) so the
+    distributed TakeOrdered and DuckDB's ORDER BY agree exactly."""
+    from .operators.sampling import dsir_sample
+
+    d = _read(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    return dsir_sample(d, target, "doc_id", n=100, seed=7)
+
+
+_DSIR_FEATS_SQL = f"""
+list_transform(
+  list_concat(words, CASE WHEN len(words) >= 2
+       THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+       ELSE [] END),
+  f -> (('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096)::BIGINT)
+"""
+
+SQL_DSIR_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '{_WS_SQL}+'),
+                     w -> w <> '') AS words
+  FROM documents
+), f AS (
+  SELECT doc_id, lang, unnest({_DSIR_FEATS_SQL}) AS b FROM t
+), tcnt AS (
+  SELECT b, count(*) AS c FROM f WHERE lang = 'en' GROUP BY b
+), rcnt AS (
+  SELECT b, count(*) AS c FROM f GROUP BY b
+), ttot AS (SELECT count(*) AS n FROM f WHERE lang = 'en'),
+rtot AS (SELECT count(*) AS n FROM f),
+ratio AS (
+  SELECT coalesce(tc.b, rc.b) AS b,
+         ln((coalesce(tc.c, 0) + 0.5) / (ttot.n + 0.5 * 4096))
+         - ln((coalesce(rc.c, 0) + 0.5) / (rtot.n + 0.5 * 4096)) AS r
+  FROM tcnt tc FULL JOIN rcnt rc ON tc.b = rc.b, ttot, rtot
+), per_doc AS (
+  SELECT t.doc_id,
+         coalesce(sum(ratio.r) / count(f.b), 0.0) AS avg_lr
+  FROM t LEFT JOIN f ON t.doc_id = f.doc_id
+         LEFT JOIN ratio ON f.b = ratio.b
+  GROUP BY t.doc_id
+), gumbel AS (
+  SELECT doc_id, avg_lr,
+         -ln(-ln(((('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 8))::UBIGINT)::DOUBLE + 0.5)
+                 / 4294967296.0)) AS g
+  FROM per_doc
+), scored AS (
+  SELECT doc_id, round(avg_lr + g, 6) AS score FROM gumbel
+)
+SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2997,6 +3192,9 @@ QUERIES = {
     "pack_texts": q_pack_texts,
     "noindex_pages": q_noindex_pages,
     "corpus_mixture": q_corpus_mixture,
+    "semantic_dedup": q_semantic_dedup,
+    "fuzzy_decontamination": q_fuzzy_decontamination,
+    "dsir_sample": q_dsir_sample,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
     "keyword_check": q_keyword_check,
@@ -3106,6 +3304,9 @@ ORACLES = {
     "pack_texts": SQL_PACK_TEXTS,
     "noindex_pages": SQL_NOINDEX_PAGES,
     "corpus_mixture": SQL_CORPUS_MIXTURE,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "fuzzy_decontamination": SQL_FUZZY_DECONTAMINATION,
+    "dsir_sample": SQL_DSIR_SAMPLE,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,

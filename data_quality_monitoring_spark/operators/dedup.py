@@ -538,6 +538,92 @@ def decontaminate(
     )
 
 
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    key: str,
+    bench_key: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 3,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: MinHash-LSH candidate
+    pairs against the evaluation set, then exact shingle-Jaccard
+    verification — catches paraphrased / lightly-edited eval leakage that
+    exact k-gram overlap (:func:`decontaminate`) misses (the Llama/GPT-3
+    style fuzzy decontamination pass).
+
+    Returns ``(key, bench_id, jaccard)`` for every corpus doc whose
+    k-word-shingle Jaccard with some benchmark doc clears ``threshold``
+    AND that LSH surfaced as a candidate (``n_bands`` seeded min-hash
+    bands, band match ⇒ candidate; recall 1−(1−j)^bands per pair —
+    deterministic, so an oracle replays it exactly).
+
+    Scale shape: the corpus side is ONE shingle pass reused for both the
+    band signatures (map-side min-agg) and the verification counts; the
+    eval set is thousands of docs vs a corpus of billions, so its band
+    table and its shingle set both broadcast — the corpus never self-joins
+    and its shingles only shuffle once (the per-doc signature agg)."""
+
+    def _sh(df: DataFrame, kcol: str, tcol: str) -> DataFrame:
+        return df.select(
+            F.col(kcol).alias("_k"),
+            F.explode(shingle_column(F.col(tcol), k)).alias("_s"),
+        )
+
+    def _sig(sh: DataFrame) -> DataFrame:
+        # ONE pass computes the band mins AND the shingle-set size — the
+        # shingle UDF is the expensive stage, don't rescan it for sizes
+        return sh.groupBy("_k").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(str(b)), F.col("_s")))).alias(f"h{b}")
+                for b in range(n_bands)
+            ],
+            F.count("*").alias("_n"),
+        )
+
+    def _bands(sig: DataFrame) -> DataFrame:
+        stack = "stack({n}, {parts}) as (band, sig)".format(
+            n=n_bands, parts=", ".join(f"{b}, h{b}" for b in range(n_bands))
+        )
+        return sig.select("_k", F.expr(stack))
+
+    csh, bsh = _sh(docs, key, text_col), _sh(benchmark, bench_key, bench_text_col)
+    csig, bsig = _sig(csh), _sig(bsh)
+    bb = _bands(bsig).withColumnRenamed("_k", "_bk")
+    cands = (
+        _bands(csig)
+        .join(F.broadcast(bb), ["band", "sig"])
+        .select("_k", "_bk")
+        .distinct()
+    )
+    # verification restricted to candidate docs: |∩| via the broadcast eval
+    # shingle set keyed (bench doc, shingle); sizes ride along the sig aggs
+    cand_sh = csh.join(cands, "_k")
+    inter = (
+        cand_sh.join(
+            F.broadcast(bsh.withColumnRenamed("_k", "_bk")), ["_bk", "_s"]
+        )
+        .groupBy("_k", "_bk")
+        .agg(F.count("*").alias("_i"))
+    )
+    nc = csig.select("_k", F.col("_n").alias("_nc"))
+    nb = bsig.select(F.col("_k").alias("_bk"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(nc, "_k")
+        .join(F.broadcast(nb), "_bk")
+        .withColumn("jaccard", F.col("_i") / (F.col("_nc") + F.col("_nb") - F.col("_i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("_k").alias(key),
+            F.col("_bk").alias("bench_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame, a: str = "a", b: str = "b", max_iter: int = 25
 ) -> DataFrame:

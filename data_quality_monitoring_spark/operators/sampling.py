@@ -108,3 +108,135 @@ def mixture_sample(
         )
         .drop("_quota")
     )
+
+
+# ---------------------------------------------------------------- DSIR
+
+DSIR_BUCKETS = 4096
+_WS_CLASS = "[ \\t\\n\\r\\f\\x0B]"
+
+
+def dsir_features(text: Column, n_buckets: int = DSIR_BUCKETS) -> Column:
+    """Hashed n-gram feature buckets (unigrams ∪ bigrams of lowercased
+    whitespace tokens, md5 % n_buckets) — DSIR's bag-of-hashed-ngrams
+    representation, expressed as a pure Column so the featurizer runs
+    inside whole-stage codegen and any engine can replay it (md5 is the
+    portable hash, as everywhere else in this repo)."""
+    w = F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), _WS_CLASS + "+"),
+        lambda x: x != "",
+    )
+    bi = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.slice(w, 1, F.size(w) - 1),
+            lambda x, i: F.concat(x, F.lit(" "), F.element_at(w, i + F.lit(2))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(w, bi),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    key: str,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via
+    importance resampling.  Fit a hashed-ngram unigram-bucket language
+    model to the TARGET distribution (the high-quality slice you want more
+    of) and to the RAW corpus; each document's importance weight is its
+    per-feature mean log-likelihood ratio  mean_f [log p_tgt(f) − log
+    p_raw(f)].  Returns ``(key, n_features, avg_log_ratio)``.
+
+    Scale shape: both count tables are ≤ n_buckets rows (add-λ smoothed),
+    collected driver-side only as bounded aggregates and re-broadcast as a
+    log-ratio lookup; the corpus is scanned once for raw counts and once
+    for scoring, and the only per-doc shuffle is the map-side-combined
+    groupBy on the doc key.  Nothing grows with corpus size except the two
+    linear scans."""
+    feats = lambda df: df.select(  # noqa: E731
+        F.explode(dsir_features(F.col(text_col), n_buckets)).alias("_b")
+    )
+
+    def _logp(f: DataFrame) -> tuple[DataFrame, float, float]:
+        counts = f.groupBy("_b").agg(F.count("*").alias("_c"))
+        total = f.count()
+        denom = total + smoothing * n_buckets
+        lp = counts.select(
+            "_b", F.log((F.col("_c") + smoothing) / F.lit(denom)).alias("_lp")
+        )
+        import math
+
+        return lp, math.log(smoothing / denom), denom
+
+    lp_t, def_t, _ = _logp(feats(target))
+    lp_r, def_r, _ = _logp(feats(docs))
+    ratio = (
+        lp_t.withColumnRenamed("_lp", "_lt")
+        .join(lp_r.withColumnRenamed("_lp", "_lr"), "_b", "full")
+        .select(
+            "_b",
+            (
+                F.coalesce(F.col("_lt"), F.lit(def_t))
+                - F.coalesce(F.col("_lr"), F.lit(def_r))
+            ).alias("_ratio"),
+        )
+    )
+    per_doc = docs.select(
+        F.col(key), F.explode_outer(dsir_features(F.col(text_col), n_buckets)).alias("_b")
+    )
+    return (
+        per_doc.join(F.broadcast(ratio), "_b", "left")
+        .groupBy(key)
+        .agg(
+            F.count("_b").alias("n_features"),
+            F.coalesce(
+                F.sum("_ratio") / F.count("_b"), F.lit(0.0)
+            ).alias("avg_log_ratio"),
+        )
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target: DataFrame,
+    key: str,
+    n: int,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    smoothing: float = 0.5,
+    seed: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gumbel-top-k importance resample (the actual DSIR selection rule):
+    score = avg_log_ratio + Gumbel noise, take the top ``n``.  Every
+    Gumbel draw is a pure function of (seed, key) — u = (md5 bucket +
+    0.5)/2^32, g = −ln(−ln u) — so the resample is deterministic,
+    partitioning-invariant and nested-resumable like every other sampler
+    here.  Returns ``(key, score, rank)`` for the selected docs; rank is
+    computed on the ROUNDED score (ties → lower key) so independent
+    engines agree bit-for-bit."""
+    s = dsir_scores(docs, target, key, text_col, n_buckets, smoothing)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), F.col(key).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    scored = s.select(
+        key, F.round(F.col("avg_log_ratio") - F.log(-F.log(u)), round_to).alias("score")
+    )
+    # top-n as TakeOrdered (per-partition top-n then merge — no global sort);
+    # the rank window then runs over the already-bounded n-row result
+    top = scored.orderBy(F.desc("score"), F.asc(key)).limit(n)
+    w = Window.orderBy(F.desc("score"), F.asc(key))
+    return top.withColumn("rank", F.row_number().over(w)).select(key, "score", "rank")

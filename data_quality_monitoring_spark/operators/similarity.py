@@ -149,3 +149,66 @@ def ann_recall(exact: DataFrame, approx: DataFrame) -> float:
     hits = e.join(a, ["qid", "neighbor"], "left_semi").count()
     total = e.count()
     return hits / total if total else 1.0
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    key: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    round_to: int = 5,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings into coarse cells and pruning
+    within-cell cosine near-duplicates — the method frontier pipelines use
+    to remove *semantically* redundant documents that no lexical dedup
+    (minhash/simhash/jaccard) catches.
+
+    A vector is dropped iff some LOWER-KEYED member of its own cell sits at
+    cosine ≥ ``threshold`` (keep-first, deterministic — the paper keeps one
+    arbitrary member per epsilon-ball; keying on the id makes reruns and
+    retries byte-stable).  Returns ``(key, cell, dup_cos, keep)`` where
+    ``dup_cos`` is the max cosine to a lower-keyed cell-mate over the
+    threshold (NULL for keepers).
+
+    Scale shape: the only pairwise work is the within-cell self-join, and
+    cell size is a free parameter — at N vectors pick n_cells ∝ N/c̄ so
+    cells hold a bounded c̄ (the paper uses ~50k clusters for LAION-scale);
+    the join keys on ``cell`` so it is one shuffle, and ``max_cell``
+    excludes degenerate hot cells from pruning entirely (audited, like the
+    LSH hot-bucket caps in dedup.py) so one collapsed cluster can never go
+    quadratic."""
+    assign1 = _cell_udf(centroids, 1)
+    m = corpus.select(
+        F.col(key).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("cell", F.element_at(assign1(F.col("v")), 1))
+    if max_cell is not None:
+        sizes = m.groupBy("cell").agg(F.count("*").alias("cell_sz"))
+        # the sizes table is n_cells rows — broadcast, never a wide join
+        m = m.join(F.broadcast(sizes), "cell")
+        pairable = m.filter(F.col("cell_sz") <= max_cell)
+    else:
+        pairable = m
+    left = pairable.select("cell", F.col("vid").alias("a_id"), F.col("v").alias("av"))
+    right = pairable.select("cell", F.col("vid").alias("b_id"), F.col("v").alias("bv"))
+    cos = _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv")))
+    dup = (
+        left.join(right, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .groupBy(F.col("b_id").alias("vid"))
+        .agg(F.max("cos").alias("_dup_cos"))
+    )
+    return (
+        m.select("vid", "cell")
+        .join(dup, "vid", "left")
+        .select(
+            F.col("vid").alias(key),
+            "cell",
+            F.round("_dup_cos", round_to).alias("dup_cos"),
+            F.col("_dup_cos").isNull().cast("int").alias("keep"),
+        )
+    )

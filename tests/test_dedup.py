@@ -420,3 +420,38 @@ def test_link_edges_feed_pagerank(spark):
     ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
     assert ranks["hub.example.com"] == max(ranks.values())
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_fuzzy_decontaminate_catches_edited_eval_leak(spark):
+    """An eval doc leaked into the corpus with light edits: exact k-gram
+    decontamination shows weak overlap, fuzzy (minhash+jaccard) flags it."""
+    from data_quality_monitoring_spark.operators.dedup import fuzzy_decontaminate
+
+    eval_text = " ".join(f"eval question token{i} answer{i}" for i in range(30))
+    words = eval_text.split()
+    # edit every 7th word — exact 8-gram shingles are mostly destroyed
+    edited = " ".join(w if i % 7 else w + "x" for i, w in enumerate(words))
+    docs = spark.createDataFrame(
+        [(0, edited), (1, "completely unrelated prose about weather patterns " * 10)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, eval_text)], "bid long, text string")
+    out = fuzzy_decontaminate(docs, bench, "doc_id", "bid", k=3, threshold=0.3).toPandas()
+    assert set(out["doc_id"]) == {0}
+    assert out["jaccard"].iloc[0] >= 0.3
+    # determinism under repartition
+    out2 = fuzzy_decontaminate(
+        docs.repartition(7), bench, "doc_id", "bid", k=3, threshold=0.3
+    ).toPandas()
+    assert out.sort_values(["doc_id", "bench_id"]).values.tolist() == \
+        out2.sort_values(["doc_id", "bench_id"]).values.tolist()
+
+
+def test_fuzzy_decontaminate_self_match_is_one(spark):
+    from data_quality_monitoring_spark.operators.dedup import fuzzy_decontaminate
+
+    t = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    docs = spark.createDataFrame([(0, t)], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, t)], "bid long, text string")
+    out = fuzzy_decontaminate(docs, bench, "doc_id", "bid").toPandas()
+    assert len(out) == 1 and out["jaccard"].iloc[0] == 1.0

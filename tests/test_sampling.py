@@ -85,3 +85,44 @@ def test_mixture_sample_greedy_quota(spark):
     w2 = spark.createDataFrame([("a", 1.0)], "source string, weight double")
     out2 = mixture_sample(docs2, w2, token_budget=300.0).collect()
     assert sum(r["mix_keep"] for r in out2) == 2  # 250 + 250 admits, third blocked
+
+
+def _dsir_corpus(spark):
+    """Half the corpus speaks 'target' vocabulary, half 'junk'."""
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:
+            rows.append((i, "science method result analysis experiment data " * 8, "en"))
+        else:
+            rows.append((i, "zzz qqq xxx buy now click here spam offer " * 8, "xx"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_scores_separate_target_from_junk(spark):
+    from data_quality_monitoring_spark.operators.sampling import dsir_scores
+
+    d = _dsir_corpus(spark)
+    target = d.filter(F.col("lang") == "en")
+    s = dsir_scores(d, target, "doc_id").toPandas().set_index("doc_id")
+    tgt = s.loc[[i for i in range(200) if i % 2 == 0], "avg_log_ratio"]
+    junk = s.loc[[i for i in range(200) if i % 2 == 1], "avg_log_ratio"]
+    assert tgt.min() > junk.max()  # perfect separation on disjoint vocab
+    assert len(s) == 200  # every doc scored, even off-target
+
+
+def test_dsir_sample_prefers_target_and_is_deterministic(spark):
+    from data_quality_monitoring_spark.operators.sampling import dsir_sample
+
+    d = _dsir_corpus(spark)
+    target = d.filter(F.col("lang") == "en")
+    top = dsir_sample(d, target, "doc_id", n=50, seed=7).toPandas()
+    assert len(top) == 50
+    assert (top["rank"].sort_values().values == list(range(1, 51))).all()
+    # Gumbel noise is O(1), the vocab log-ratio gap is large → mostly target
+    assert sum(i % 2 == 0 for i in top["doc_id"]) >= 45
+    rerun = dsir_sample(d.repartition(13), target, "doc_id", n=50, seed=7).toPandas()
+    assert top.sort_values("rank")["doc_id"].tolist() == \
+        rerun.sort_values("rank")["doc_id"].tolist()
+    # a different seed reshuffles the Gumbel draws
+    other = dsir_sample(d, target, "doc_id", n=50, seed=8).toPandas()
+    assert top["doc_id"].tolist() != other["doc_id"].tolist()
