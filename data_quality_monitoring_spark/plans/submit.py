@@ -198,6 +198,34 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "<output>/corpus_packed",
     )
     p.add_argument(
+        "--decontaminate", default=None,
+        help="corpus mode: parquet of eval-set docs (text column); corpus "
+        "docs overlapping it are dropped after dedup, before any "
+        "sampling/mixing (operators/dedup.decontaminate)",
+    )
+    p.add_argument(
+        "--decontaminate-mode", choices=["exact", "fuzzy"], default="exact",
+        help="exact = shared distinct k-gram shingles (default); fuzzy = "
+        "MinHash-LSH candidates + shingle-Jaccard verify — catches "
+        "paraphrased eval leakage (operators/dedup.fuzzy_decontaminate)",
+    )
+    p.add_argument(
+        "--decontaminate-threshold", type=float, default=0.5,
+        help="fuzzy decontamination Jaccard bar (default 0.5)",
+    )
+    p.add_argument(
+        "--dsir-top", type=int, default=None,
+        help="corpus mode: keep only the top-N docs by DSIR importance "
+        "score toward --dsir-target (hashed-ngram log-ratio + seeded "
+        "Gumbel, operators/sampling.dsir_sample); runs after dedup and "
+        "decontamination, before mixing",
+    )
+    p.add_argument(
+        "--dsir-target", default=None,
+        help="corpus mode: parquet of target-distribution docs (text "
+        "column) for --dsir-top",
+    )
+    p.add_argument(
         "--substring-k", type=int, default=None,
         help="corpus mode: after doc-level dedup, strip every token inside "
         "a >= K-token span repeated anywhere in the corpus "
@@ -397,6 +425,40 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         corpus = corpus.select("url", "lang").join(
             sd.select("url", F.col("text_dedup").alias("text_scrubbed")), "url"
         )
+    decon = getattr(args, "decontaminate", None)
+    if decon:  # eval-set decontamination before any sampling/mixing
+        bench = spark.read.parquet(decon).select(
+            F.monotonically_increasing_id().alias("_bid"), F.col("text")
+        )
+        if getattr(args, "decontaminate_mode", "exact") == "fuzzy":
+            from ..operators.dedup import fuzzy_decontaminate
+
+            flagged = fuzzy_decontaminate(
+                corpus, bench, "url", "_bid", text_col="text_scrubbed",
+                threshold=getattr(args, "decontaminate_threshold", 0.5),
+            ).select("url").distinct()
+        else:
+            from ..operators.dedup import decontaminate
+
+            flagged = (
+                decontaminate(corpus, bench, "url", text_col="text_scrubbed")
+                .filter(F.col("n_contaminated") > 0)
+                .select("url")
+            )
+        before = corpus.count()
+        corpus = corpus.join(flagged, "url", "left_anti")
+        stats["decontaminated_docs_dropped"] = before - corpus.count()
+    dsir_top = getattr(args, "dsir_top", None)
+    if dsir_top:  # DSIR importance resample toward a target distribution
+        from ..operators.sampling import dsir_sample
+
+        target = spark.read.parquet(args.dsir_target).select("text")
+        picked = dsir_sample(
+            corpus.withColumnRenamed("text_scrubbed", "text"),
+            target, "url", n=dsir_top,
+        ).select("url")
+        corpus = corpus.join(picked, "url", "left_semi")
+        stats["dsir_docs_selected"] = corpus.count()
     budget = getattr(args, "mixture_budget", None)
     if budget:  # lang-weighted token-budget mixing over the final corpus
         from ..operators.sampling import mixture_sample

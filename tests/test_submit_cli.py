@@ -558,3 +558,53 @@ def test_corpus_mode_pack_texts(spark, tmp_path):
         "n_sep", F.size(F.split("pack_text", "\x1e")) 
     )
     assert joined.filter(F.col("n_sep") != F.col("n_docs")).count() == 0
+
+
+def test_corpus_mode_decontaminate_and_dsir(spark, tmp_path):
+    """--decontaminate (exact + fuzzy) drops eval leakage; --dsir-top keeps
+    the importance-resampled subset — both through the real CLI path."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.plans.submit import run_corpus
+
+    in_dir = str(tmp_path / "in_d")
+    eval_dir = str(tmp_path / "evalset")
+    tgt_dir = str(tmp_path / "target")
+    pages = generate_pages(spark, 200, partitions=4)
+    pages.write.parquet(in_dir)
+    # the eval set = scrubbed text of a few pages that survive the filter →
+    # guaranteed contamination hits
+    from data_quality_monitoring_spark.plans.pipeline import quality_filter
+
+    kept = quality_filter(spark, pages).filter("keep").select("url", "text_scrubbed")
+    kept.limit(5).select(F.col("text_scrubbed").alias("text")).write.parquet(eval_dir)
+    kept.limit(40).select(F.col("text_scrubbed").alias("text")).write.parquet(tgt_dir)
+
+    out1 = str(tmp_path / "out_exact")
+    base_stats = run_corpus(spark, build_args(
+        ["--mode", "corpus", "--input", in_dir, "--output", str(tmp_path / "out_base")]
+    ))
+    stats1 = run_corpus(spark, build_args(
+        ["--mode", "corpus", "--input", in_dir, "--output", out1,
+         "--decontaminate", eval_dir]
+    ))
+    assert stats1["decontaminated_docs_dropped"] >= 1
+    assert stats1["final"] == base_stats["final"]  # drop happens post-count
+    assert spark.read.parquet(f"{out1}/corpus").count() == \
+        base_stats["final"] - stats1["decontaminated_docs_dropped"]
+
+    out2 = str(tmp_path / "out_fuzzy")
+    stats2 = run_corpus(spark, build_args(
+        ["--mode", "corpus", "--input", in_dir, "--output", out2,
+         "--decontaminate", eval_dir, "--decontaminate-mode", "fuzzy",
+         "--decontaminate-threshold", "0.5"]
+    ))
+    assert stats2["decontaminated_docs_dropped"] >= 1
+
+    out3 = str(tmp_path / "out_dsir")
+    stats3 = run_corpus(spark, build_args(
+        ["--mode", "corpus", "--input", in_dir, "--output", out3,
+         "--dsir-top", "30", "--dsir-target", tgt_dir]
+    ))
+    assert stats3["dsir_docs_selected"] == 30
+    assert spark.read.parquet(f"{out3}/corpus").count() == 30
