@@ -2975,6 +2975,99 @@ SELECT doc_id, regexp_matches(html, '{pat}') AS noindex FROM h
 SQL_NOINDEX_PAGES = _noindex_sql()
 
 
+# ------------------------------------------------- pack token ids (loader-final)
+
+def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-final token-id materialization: the BPE-budget packs of
+    q_sequence_packing_bpe, each emitted as ONE concatenated token-id
+    stream in (doc_id asc, word order, greedy piece order) — exactly the
+    int sequence a training loader reads.  Fully ORACLED: DuckDB replays
+    the greedy longest-match segmentation as a recursive CTE that builds
+    the per-word id string (same embedded (piece, len, id) dictionary),
+    stitches docs with ordered string_aggs, and re-runs the identical
+    packing window — a one-token divergence anywhere in the stream flips
+    the hash.  Groups are budget-bounded, so the per-pack collect_list is
+    small by construction (same argument as pack_texts)."""
+    from .artifacts import get_bpe_pieces
+    from .operators.bpe import bpe_encode_ids, bpe_token_count
+    from .operators.packing import pack_documents
+
+    pieces = list(get_bpe_pieces())
+    d = _read(spark, sf_dir, "documents")
+    with_tok = d.withColumn("bpe_tokens", bpe_token_count(F.col("text"), pieces))
+    packed = pack_documents(
+        with_tok,
+        "doc_id",
+        BPE_PACK_BUDGET,
+        group_cols=("lang",),
+        n_shards=PACK_SHARDS,
+        tokens_col="bpe_tokens",
+    )
+    enc = packed.withColumn("ids", bpe_encode_ids(F.col("text"), pieces))
+    return (
+        enc.groupBy("lang", "shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.array_sort(F.collect_list(F.struct("doc_id", "ids"))).alias("_m"),
+        )
+        .select(
+            "lang",
+            "shard",
+            "pack_id",
+            "n_docs",
+            "total_tokens",
+            F.to_json(F.flatten(F.col("_m.ids"))).alias("token_ids_json"),
+        )
+    )
+
+
+def _pack_token_ids_sql() -> str:
+    from .artifacts import get_bpe_pieces
+    from .operators.bpe import pieces_ids_values_sql
+    from .operators.sampling import sample_bucket_sql
+
+    shard = f"({sample_bucket_sql('doc_id')} % {PACK_SHARDS})"
+    return f"""
+WITH RECURSIVE pieces(p, l, id) AS (SELECT * FROM {pieces_ids_values_sql(list(get_bpe_pieces()))}),
+dw AS (
+  SELECT doc_id, lang, w, ord FROM (
+    SELECT doc_id, lang, unnest(words) AS w, unnest(range(1, len(words) + 1)) AS ord
+    FROM (SELECT doc_id, lang, {_PYWORDS_SQL.format(c="text")} AS words FROM documents))
+), uw AS (SELECT DISTINCT w FROM dw),
+seg(w, pos, n, ids) AS (
+  SELECT w, 1, 0, '' FROM uw
+  UNION ALL
+  SELECT w,
+         pos + coalesce((SELECT max(l) FROM pieces WHERE p = substr(seg.w, seg.pos, l)), 1),
+         n + 1,
+         (CASE WHEN ids = '' THEN '' ELSE ids || ',' END) ||
+           coalesce((SELECT id FROM pieces WHERE p = substr(seg.w, seg.pos, l)
+                     ORDER BY l DESC LIMIT 1), -1)::VARCHAR
+  FROM seg WHERE pos <= length(w)
+), wc AS (
+  SELECT w, max(n) AS np, arg_max(ids, pos) AS ids FROM seg GROUP BY w
+), t AS (
+  SELECT doc_id, any_value(lang) AS lang, sum(np)::INT AS n_tokens,
+         string_agg(wc.ids, ',' ORDER BY ord) AS idstr, {shard} AS shard
+  FROM dw JOIN wc USING (w) GROUP BY doc_id
+), p AS (
+  SELECT lang, shard, doc_id, n_tokens, idstr,
+         sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start
+  FROM t WHERE n_tokens > 0
+)
+SELECT lang, shard, floor(start / {BPE_PACK_BUDGET})::BIGINT AS pack_id,
+       count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       '[' || string_agg(idstr, ',' ORDER BY doc_id) || ']' AS token_ids_json
+FROM p GROUP BY lang, shard, pack_id
+"""
+
+
+SQL_PACK_TOKEN_IDS = _pack_token_ids_sql()
+
+
 # ------------------------------------------------- semantic dedup (SemDeDup)
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3121,7 +3214,9 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _read(spark, sf_dir, "documents")
     target = d.filter(F.col("lang") == "en")
-    return dsir_sample(d, target, "doc_id", n=100, seed=7)
+    # the test-SF documents table is ONE parquet split — rebalance so the
+    # per-feature hashing parallelizes (no-op semantics, see dsir_scores)
+    return dsir_sample(d, target, "doc_id", n=100, seed=7, repartition_to=32)
 
 
 _DSIR_FEATS_SQL = f"""
@@ -3195,6 +3290,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "fuzzy_decontamination": q_fuzzy_decontamination,
     "dsir_sample": q_dsir_sample,
+    "pack_token_ids": q_pack_token_ids,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
     "keyword_check": q_keyword_check,
@@ -3307,6 +3403,7 @@ ORACLES = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "fuzzy_decontamination": SQL_FUZZY_DECONTAMINATION,
     "dsir_sample": SQL_DSIR_SAMPLE,
+    "pack_token_ids": SQL_PACK_TOKEN_IDS,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,

@@ -128,3 +128,65 @@ def pieces_values_sql(pieces: list[str]) -> str:
         "('" + p.replace("'", "''") + "', " + str(len(p)) + ")" for p in pieces
     )
     return f"(VALUES {rows})"
+
+
+def piece_id_table(pieces: list[str]) -> dict[str, int]:
+    """Deterministic piece→id assignment: 0-based ids in (length desc,
+    piece asc) inventory order.  -1 is reserved for the single-char
+    unknown fallback (real pipelines byte-fallback here; the id stream
+    stays loss-annotated rather than dropping text)."""
+    ordered = sorted(set(pieces), key=lambda p: (-len(p), p))
+    return {p: i for i, p in enumerate(ordered)}
+
+
+def greedy_piece_ids(word: str, ids: dict[str, int], max_len: int) -> list[int]:
+    """Token ids consumed by greedy longest-match-first — the id-emitting
+    twin of greedy_piece_count (same walk, same fallback)."""
+    pos, out = 0, []
+    L = len(word)
+    while pos < L:
+        size = min(max_len, L - pos)
+        while size > 1 and word[pos : pos + size] not in ids:
+            size -= 1
+        out.append(ids.get(word[pos : pos + size], -1))
+        pos += size
+    return out
+
+
+def bpe_encode_ids(text: Column, pieces: list[str]) -> Column:
+    """Per-document token-id array (one Arrow pass, per-batch word cache) —
+    the loader-final representation: what a training job actually reads
+    after packing.  NULL for null text; [] for whitespace-only."""
+    ids_map = piece_id_table(pieces)
+    max_len = max((len(p) for p in pieces), default=1)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[int]] = {}
+
+        def doc(t):
+            if t is None:
+                return None
+            out: list[int] = []
+            for w in _words(t):
+                v = cache.get(w)
+                if v is None:
+                    v = greedy_piece_ids(w, ids_map, max_len)
+                    cache[w] = v
+                out.extend(v)
+            return out
+
+        return texts.map(doc)
+
+    return _enc(text)
+
+
+def pieces_ids_values_sql(pieces: list[str]) -> str:
+    """The piece inventory as a DuckDB VALUES table ``(p, l, id)`` with the
+    exact piece_id_table assignment — the oracle's id dictionary."""
+    ids = piece_id_table(pieces)
+    rows = ", ".join(
+        "('" + p.replace("'", "''") + "', " + str(len(p)) + ", " + str(i) + ")"
+        for p, i in sorted(ids.items(), key=lambda kv: kv[1])
+    )
+    return f"(VALUES {rows})"

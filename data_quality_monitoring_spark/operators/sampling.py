@@ -147,6 +147,7 @@ def dsir_scores(
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
     smoothing: float = 0.5,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via
     importance resampling.  Fit a hashed-ngram unigram-bucket language
@@ -156,36 +157,48 @@ def dsir_scores(
     p_raw(f)].  Returns ``(key, n_features, avg_log_ratio)``.
 
     Scale shape: both count tables are ≤ n_buckets rows (add-λ smoothed),
-    collected driver-side only as bounded aggregates and re-broadcast as a
-    log-ratio lookup; the corpus is scanned once for raw counts and once
-    for scoring, and the only per-doc shuffle is the map-side-combined
-    groupBy on the doc key.  Nothing grows with corpus size except the two
-    linear scans."""
+    and the feature TOTALS are the sums of those tiny tables — no driver
+    action, no extra corpus pass; the log-ratio lookup is re-broadcast and
+    the corpus is scanned once for raw counts and once for scoring, the
+    only per-doc shuffle being the map-side-combined groupBy on the doc
+    key.  Every bucket a document can score came from the raw-count pass
+    over the same corpus, so missing-bucket defaults never arise at
+    scoring time (the add-λ zero-count branch only fires for the target
+    side, inside the lookup itself).
+
+    ``repartition_to`` (opt-in) rebalances the projected (key, text)
+    columns before the per-feature hashing — the fix for SMALL single-file
+    inputs whose scan yields one task (the hashing is the expensive stage
+    and would run on one core).  Leave None on real cluster inputs: they
+    arrive in thousands of splits and the extra text shuffle is waste."""
+    if repartition_to:
+        docs = docs.select(key, text_col).repartition(repartition_to)
+        target = target.select(text_col).repartition(repartition_to)
     feats = lambda df: df.select(  # noqa: E731
         F.explode(dsir_features(F.col(text_col), n_buckets)).alias("_b")
     )
-
-    def _logp(f: DataFrame) -> tuple[DataFrame, float, float]:
-        counts = f.groupBy("_b").agg(F.count("*").alias("_c"))
-        total = f.count()
-        denom = total + smoothing * n_buckets
-        lp = counts.select(
-            "_b", F.log((F.col("_c") + smoothing) / F.lit(denom)).alias("_lp")
-        )
-        import math
-
-        return lp, math.log(smoothing / denom), denom
-
-    lp_t, def_t, _ = _logp(feats(target))
-    lp_r, def_r, _ = _logp(feats(docs))
+    lam = float(smoothing)
+    # the two count tables are ≤ n_buckets rows: persist them so the
+    # totals' broadcasts and the ratio join don't re-run the feature scans
+    ct = feats(target).groupBy("_b").agg(F.count("*").alias("_ct")).persist()
+    cr = feats(docs).groupBy("_b").agg(F.count("*").alias("_cr")).persist()
+    tot_t = ct.agg(F.sum("_ct").alias("_nt"))  # 1 row, from the 4096-row table
+    tot_r = cr.agg(F.sum("_cr").alias("_nr"))
     ratio = (
-        lp_t.withColumnRenamed("_lp", "_lt")
-        .join(lp_r.withColumnRenamed("_lp", "_lr"), "_b", "full")
+        ct.join(cr, "_b", "full")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
         .select(
             "_b",
             (
-                F.coalesce(F.col("_lt"), F.lit(def_t))
-                - F.coalesce(F.col("_lr"), F.lit(def_r))
+                F.log(
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + lam)
+                    / (F.col("_nt") + lam * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("_cr"), F.lit(0)) + lam)
+                    / (F.col("_nr") + lam * n_buckets)
+                )
             ).alias("_ratio"),
         )
     )
@@ -214,6 +227,7 @@ def dsir_sample(
     smoothing: float = 0.5,
     seed: int = 7,
     round_to: int = 6,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Gumbel-top-k importance resample (the actual DSIR selection rule):
     score = avg_log_ratio + Gumbel noise, take the top ``n``.  Every
@@ -223,7 +237,7 @@ def dsir_sample(
     here.  Returns ``(key, score, rank)`` for the selected docs; rank is
     computed on the ROUNDED score (ties → lower key) so independent
     engines agree bit-for-bit."""
-    s = dsir_scores(docs, target, key, text_col, n_buckets, smoothing)
+    s = dsir_scores(docs, target, key, text_col, n_buckets, smoothing, repartition_to)
     u = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), F.col(key).cast("string"))), 1, 8),

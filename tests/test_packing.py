@@ -231,3 +231,31 @@ def test_materialize_packs_order_and_totals(spark):
         pack_documents(df.repartition(7), "k", budget=8, n_shards=2), "k", sep="\x1e"
     )
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_bpe_encode_ids_consistent_with_counts(spark):
+    """The id stream's length equals the frozen-BPE token count doc by doc,
+    and ids are within the vocab (or the -1 unknown sentinel)."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.artifacts import get_bpe_pieces
+    from data_quality_monitoring_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_token_count,
+        piece_id_table,
+    )
+
+    pieces = list(get_bpe_pieces())
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = d.select(
+        "doc_id",
+        bpe_token_count(F.col("text"), pieces).alias("n"),
+        bpe_encode_ids(F.col("text"), pieces).alias("ids"),
+    ).toPandas()
+    vocab = len(piece_id_table(pieces))
+    for _, r in out.iterrows():
+        if r["n"] is None:
+            assert r["ids"] is None
+            continue
+        assert len(r["ids"]) == r["n"]
+        assert all(-1 <= i < vocab for i in r["ids"])
