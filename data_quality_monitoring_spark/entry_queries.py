@@ -3184,9 +3184,12 @@ WITH t AS (
   UNION ALL SELECT doc_id, 3, h3 FROM csig0
 ), bsig AS (
   SELECT doc_id AS bid, band, sig FROM csig WHERE doc_id < 10
+), hot AS (
+  SELECT band, sig FROM csig GROUP BY band, sig HAVING count(*) > 5000
 ), cands AS (
   SELECT DISTINCT c.doc_id, b.bid
   FROM csig c JOIN bsig b ON c.band = b.band AND c.sig = b.sig
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.band = c.band AND h.sig = c.sig)
 ), inter AS (
   SELECT sh.doc_id, bsh.bid, count(*) AS i
   FROM sh JOIN bsh USING (s) JOIN cands ON cands.doc_id = sh.doc_id AND cands.bid = bsh.bid

@@ -548,6 +548,7 @@ def fuzzy_decontaminate(
     k: int = 3,
     n_bands: int = 4,
     threshold: float = 0.5,
+    max_band_bucket: int = 5000,
 ) -> DataFrame:
     """NEAR-duplicate benchmark decontamination: MinHash-LSH candidate
     pairs against the evaluation set, then exact shingle-Jaccard
@@ -565,7 +566,16 @@ def fuzzy_decontaminate(
     band signatures (map-side min-agg) and the verification counts; the
     eval set is thousands of docs vs a corpus of billions, so its band
     table and its shingle set both broadcast — the corpus never self-joins
-    and its shingles only shuffle once (the per-doc signature agg)."""
+    and its shingles only shuffle once (the per-doc signature agg).
+
+    ``max_band_bucket`` is the hot-bucket guard every candidate generator
+    in this repo carries: a band value shared by more corpus docs than the
+    cap is boilerplate minhash, and joining it would make the candidate
+    list O(corpus) (measured: an uncapped run on a 1M-doc corpus whose
+    templates overlap the eval set produced a >1 GiB candidate relation
+    that AQE then tried to broadcast).  Genuinely contaminated docs keep
+    their other ``n_bands − 1`` chances, the same recall argument as
+    ``lsh_candidate_pairs``'s max_bucket."""
 
     def _sh(df: DataFrame, kcol: str, tcol: str) -> DataFrame:
         return df.select(
@@ -593,15 +603,27 @@ def fuzzy_decontaminate(
     csh, bsh = _sh(docs, key, text_col), _sh(benchmark, bench_key, bench_text_col)
     csig, bsig = _sig(csh), _sig(bsh)
     bb = _bands(bsig).withColumnRenamed("_k", "_bk")
+    cb = _bands(csig)
+    hot = (
+        cb.groupBy("band", "sig")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_band_bucket)
+        .select("band", "sig")
+    )
     cands = (
-        _bands(csig)
+        cb.join(F.broadcast(hot), ["band", "sig"], "left_anti")
         .join(F.broadcast(bb), ["band", "sig"])
         .select("_k", "_bk")
         .distinct()
     )
     # verification restricted to candidate docs: |∩| via the broadcast eval
-    # shingle set keyed (bench doc, shingle); sizes ride along the sig aggs
-    cand_sh = csh.join(cands, "_k")
+    # shingle set keyed (bench doc, shingle); sizes ride along the sig aggs.
+    # The candidate list is the one derived relation whose size the planner
+    # cannot bound (boilerplate-heavy corpora inflate it) — pin its join to
+    # shuffle-hash so a misestimate can never become a driver-killing
+    # broadcast (observed: AQE broadcasting a multi-million-pair list on a
+    # template-saturated 50k corpus)
+    cand_sh = csh.join(cands.hint("shuffle_hash"), "_k")
     inter = (
         cand_sh.join(
             F.broadcast(bsh.withColumnRenamed("_k", "_bk")), ["_bk", "_s"]
