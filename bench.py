@@ -55,6 +55,7 @@ HEADLINE = [
     "fuzzy_decontamination",  # minhash eval-leak decontamination (round 3, late)
     "dsir_sample",  # DSIR importance resampling (round 3, late)
     "pack_token_ids",  # loader-final token-id pack streams (round 3, late)
+    "chunk_documents",  # context-window chunking, pure codegen (round 3, late)
     "repetition_stats",
     "normalize_unicode",
     "multifield_cells",

@@ -3068,6 +3068,50 @@ FROM p GROUP BY lang, shard, pack_id
 SQL_PACK_TOKEN_IDS = _pack_token_ids_sql()
 
 
+# ------------------------------------------------- context-window chunking
+
+CHUNK_WORDS, CHUNK_OVERLAP = 64, 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (packing.chunk_documents): 64-word windows
+    with 8-word overlap — one scan-local codegen stage (split → sequence
+    of starts → posexplode → slice), zero shuffles, zero Python.  The
+    oracle replays the start arithmetic with DuckDB range() and 1-based
+    list slicing; hashing the chunk TEXT pins the exact word boundaries
+    and overlap handling, not just counts."""
+    from .operators.packing import chunk_documents
+
+    d = _read(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", chunk_words=CHUNK_WORDS, overlap=CHUNK_OVERLAP)
+
+
+_CHUNK_STEP = CHUNK_WORDS - CHUNK_OVERLAP
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}+'),
+                     w -> w <> '') AS w
+  FROM documents
+), d AS (
+  SELECT doc_id, w, len(w) AS n,
+         greatest(len(w) - {CHUNK_OVERLAP} - 1, 0) AS bound
+  FROM t WHERE len(w) > 0
+), s AS (
+  SELECT doc_id, w, n,
+         unnest(range(0, bound - bound % {_CHUNK_STEP} + 1, {_CHUNK_STEP})) AS start
+  FROM d
+)
+SELECT doc_id,
+       (start // {_CHUNK_STEP})::INT AS chunk_id,
+       start::INT AS start_word,
+       len(w[start + 1 : start + {CHUNK_WORDS}])::INT AS n_words,
+       array_to_string(w[start + 1 : start + {CHUNK_WORDS}], ' ') AS chunk_text
+FROM s
+"""
+
+
 # ------------------------------------------------- semantic dedup (SemDeDup)
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3294,6 +3338,7 @@ QUERIES = {
     "fuzzy_decontamination": q_fuzzy_decontamination,
     "dsir_sample": q_dsir_sample,
     "pack_token_ids": q_pack_token_ids,
+    "chunk_documents": q_chunk_documents,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
     "keyword_check": q_keyword_check,
@@ -3407,6 +3452,7 @@ ORACLES = {
     "fuzzy_decontamination": SQL_FUZZY_DECONTAMINATION,
     "dsir_sample": SQL_DSIR_SAMPLE,
     "pack_token_ids": SQL_PACK_TOKEN_IDS,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,

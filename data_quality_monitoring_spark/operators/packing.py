@@ -134,3 +134,48 @@ def materialize_packs(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    key: str,
+    chunk_words: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window preparation: split every document into fixed-size
+    word windows with overlap — the chunking step before training on long
+    documents (or indexing them for retrieval).  Emits one row per chunk:
+    ``(key, chunk_id, start_word, n_words, chunk_text)`` where chunk i
+    starts at ``i·(chunk_words − overlap)`` and chunk_text is the
+    space-joined word slice (whitespace is canonicalized — by this stage
+    text has been extracted/scrubbed and packing counts words, not bytes).
+
+    Pure codegen: split → sequence of starts → posexplode → slice +
+    array_join; no UDF, no shuffle — a scan-local map stage that scales
+    with the input partitioning.  Documents shorter than one chunk yield
+    exactly one chunk; NULL/whitespace-only text yields none."""
+    if overlap >= chunk_words:
+        raise ValueError(f"overlap {overlap} must be < chunk_words {chunk_words}")
+    step = chunk_words - overlap
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"[ \t\n\r\f\x0B]+"),
+        lambda x: x != "",
+    )
+    d = df.select(F.col(key), words.alias("_w")).filter(F.size("_w") > 0)
+    # last chunk = the largest step multiple that still contributes a word
+    # beyond the previous chunk's overlap (every word covered, and no
+    # trailing chunk that is a pure sub-window of its predecessor)
+    bound = F.greatest(F.size("_w") - overlap - 1, F.lit(0))
+    starts = F.sequence(F.lit(0), bound - bound % step, F.lit(step))
+    chunks = d.select(
+        key, F.size("_w").alias("_n"), F.col("_w"), F.posexplode(starts)
+    )
+    sl = F.slice(F.col("_w"), F.col("col") + 1, chunk_words)
+    return chunks.select(
+        key,
+        F.col("pos").alias("chunk_id"),
+        F.col("col").alias("start_word"),
+        F.size(sl).alias("n_words"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )

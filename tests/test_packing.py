@@ -259,3 +259,39 @@ def test_bpe_encode_ids_consistent_with_counts(spark):
             continue
         assert len(r["ids"]) == r["n"]
         assert all(-1 <= i < vocab for i in r["ids"])
+
+
+def test_chunk_documents_covers_every_word_once_minimally(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.operators.packing import chunk_documents
+
+    texts = [
+        (0, " ".join(f"w{i}" for i in range(200))),
+        (1, "one two"),
+        (2, None),
+        (3, "   \t "),
+        (4, " ".join(f"x{i}" for i in range(64))),  # exactly one chunk
+        (5, " ".join(f"y{i}" for i in range(65))),  # one word past the budget
+    ]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    out = chunk_documents(d, "doc_id", chunk_words=64, overlap=8).toPandas()
+    assert set(out["doc_id"]) == {0, 1, 4, 5}  # null/ws-only yield nothing
+    by_doc = {k: g.sort_values("chunk_id") for k, g in out.groupby("doc_id")}
+    # full coverage with the declared overlap: chunk i starts at i*(64-8)
+    g = by_doc[0]
+    assert g["start_word"].tolist() == [0, 56, 112, 168]
+    assert g["n_words"].tolist() == [64, 64, 64, 32]
+    words = texts[0][1].split()
+    rebuilt = g.iloc[0]["chunk_text"].split()
+    for _, row in g.iloc[1:].iterrows():
+        rebuilt.extend(row["chunk_text"].split()[8:])  # drop the overlap
+    assert rebuilt == words
+    assert len(by_doc[4]) == 1 and by_doc[4].iloc[0]["n_words"] == 64
+    assert by_doc[5]["n_words"].tolist() == [64, 9]  # trailing chunk adds y56..y64
+    # partitioning invariance
+    out2 = chunk_documents(d.repartition(5), "doc_id", chunk_words=64, overlap=8).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(map(tuple, out2.values.tolist()))
+    with _pytest.raises(ValueError):
+        chunk_documents(d, "doc_id", chunk_words=8, overlap=8)
