@@ -199,9 +199,10 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     )
     p.add_argument(
         "--decontaminate", default=None,
-        help="corpus mode: parquet of eval-set docs (text column); corpus "
-        "docs overlapping it are dropped after dedup, before any "
-        "sampling/mixing (operators/dedup.decontaminate)",
+        help="corpus/incremental modes: parquet of eval-set docs (text "
+        "column); docs overlapping it are dropped after dedup (corpus) or "
+        "before acceptance (incremental), ahead of any sampling/mixing "
+        "(operators/dedup.decontaminate)",
     )
     p.add_argument(
         "--decontaminate-mode", choices=["exact", "fuzzy"], default="exact",
@@ -224,6 +225,17 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--dsir-target", default=None,
         help="corpus mode: parquet of target-distribution docs (text "
         "column) for --dsir-top",
+    )
+    p.add_argument(
+        "--chunk-words", type=int, default=None,
+        help="corpus mode: also write corpus_chunks/ — every doc split "
+        "into fixed word windows of this size for long-document "
+        "training/indexing (operators/packing.chunk_documents)",
+    )
+    p.add_argument(
+        "--chunk-overlap", type=int, default=32,
+        help="corpus mode: overlap words between consecutive chunks "
+        "(default 32)",
     )
     p.add_argument(
         "--substring-k", type=int, default=None,
@@ -389,6 +401,37 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
     return sink.run(pages, transform, metrics_fn=metrics_fn)
 
 
+def _apply_decontaminate(spark: SparkSession, docs, args, stats: dict):
+    """--decontaminate: drop docs overlapping the eval-set parquet (exact
+    8-gram shingles, or MinHash+Jaccard with --decontaminate-mode fuzzy).
+    Shared by corpus and incremental modes; records the drop count."""
+    decon = getattr(args, "decontaminate", None)
+    if not decon:
+        return docs
+    bench = spark.read.parquet(decon).select(
+        F.monotonically_increasing_id().alias("_bid"), F.col("text")
+    )
+    if getattr(args, "decontaminate_mode", "exact") == "fuzzy":
+        from ..operators.dedup import fuzzy_decontaminate
+
+        flagged = fuzzy_decontaminate(
+            docs, bench, "url", "_bid", text_col="text_scrubbed",
+            threshold=getattr(args, "decontaminate_threshold", 0.5),
+        ).select("url").distinct()
+    else:
+        from ..operators.dedup import decontaminate
+
+        flagged = (
+            decontaminate(docs, bench, "url", text_col="text_scrubbed")
+            .filter(F.col("n_contaminated") > 0)
+            .select("url")
+        )
+    before = docs.count()
+    out = docs.join(flagged, "url", "left_anti")
+    stats["decontaminated_docs_dropped"] = before - out.count()
+    return out
+
+
 def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
     """corpus: the full training-corpus build (plans/corpus.build_corpus —
     filter → exact dedup → near-dup clusters → optional stratified sample)
@@ -425,29 +468,7 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         corpus = corpus.select("url", "lang").join(
             sd.select("url", F.col("text_dedup").alias("text_scrubbed")), "url"
         )
-    decon = getattr(args, "decontaminate", None)
-    if decon:  # eval-set decontamination before any sampling/mixing
-        bench = spark.read.parquet(decon).select(
-            F.monotonically_increasing_id().alias("_bid"), F.col("text")
-        )
-        if getattr(args, "decontaminate_mode", "exact") == "fuzzy":
-            from ..operators.dedup import fuzzy_decontaminate
-
-            flagged = fuzzy_decontaminate(
-                corpus, bench, "url", "_bid", text_col="text_scrubbed",
-                threshold=getattr(args, "decontaminate_threshold", 0.5),
-            ).select("url").distinct()
-        else:
-            from ..operators.dedup import decontaminate
-
-            flagged = (
-                decontaminate(corpus, bench, "url", text_col="text_scrubbed")
-                .filter(F.col("n_contaminated") > 0)
-                .select("url")
-            )
-        before = corpus.count()
-        corpus = corpus.join(flagged, "url", "left_anti")
-        stats["decontaminated_docs_dropped"] = before - corpus.count()
+    corpus = _apply_decontaminate(spark, corpus, args, stats)
     dsir_top = getattr(args, "dsir_top", None)
     if dsir_top:  # DSIR importance resample toward a target distribution
         from ..operators.sampling import dsir_sample
@@ -511,6 +532,16 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
                 packed, "url", text_col="text_scrubbed",
                 group_cols=("lang",), sep="\x1e",
             ).write.mode("overwrite").parquet(f"{args.output}/corpus_packs")
+    chunk_w = getattr(args, "chunk_words", None)
+    if chunk_w:  # context-window chunks for long-document training/indexing
+        from ..operators.packing import chunk_documents
+
+        chunk_documents(
+            corpus, "url", chunk_words=chunk_w,
+            overlap=getattr(args, "chunk_overlap", 32),
+            text_col="text_scrubbed",
+        ).write.mode("overwrite").parquet(f"{args.output}/corpus_chunks")
+        stats["chunks"] = spark.read.parquet(f"{args.output}/corpus_chunks").count()
     n_shuf = getattr(args, "shuffle_shards", None)
     if n_shuf:  # global pseudo-random order for the training loader
         from ..operators.packing import shuffle_shards
@@ -709,9 +740,17 @@ def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
             .persist()
         )
 
+    pre_stats: dict = {}
+    deconned = _apply_decontaminate(spark, kept, args, pre_stats)
+    if pre_stats:
+        deconned = deconned.persist()
+        kept.unpersist()
+        kept = deconned
+
     accepted, stats = incremental_dedup(
         spark, kept, store, accepted_writer=write_corpus
     )
+    stats.update(pre_stats)
     kept.unpersist()
     Path(args.output).mkdir(parents=True, exist_ok=True)
     Path(args.output, "last_batch_stats.json").write_text(json.dumps(stats, indent=1))

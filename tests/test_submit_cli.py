@@ -608,3 +608,37 @@ def test_corpus_mode_decontaminate_and_dsir(spark, tmp_path):
     ))
     assert stats3["dsir_docs_selected"] == 30
     assert spark.read.parquet(f"{out3}/corpus").count() == 30
+
+
+def test_corpus_mode_chunks_and_incremental_decontaminate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.plans.pipeline import quality_filter
+    from data_quality_monitoring_spark.plans.submit import run_corpus, run_incremental
+
+    in_dir = str(tmp_path / "in_cc")
+    pages = generate_pages(spark, 150, partitions=4)
+    pages.write.parquet(in_dir)
+
+    out1 = str(tmp_path / "out_chunks")
+    stats = run_corpus(spark, build_args(
+        ["--mode", "corpus", "--input", in_dir, "--output", out1,
+         "--chunk-words", "64", "--chunk-overlap", "8"]
+    ))
+    chunks = spark.read.parquet(f"{out1}/corpus_chunks")
+    assert stats["chunks"] == chunks.count() > 0
+    assert {"url", "chunk_id", "start_word", "n_words", "chunk_text"} <= set(chunks.columns)
+    # every corpus doc is represented and no chunk exceeds the budget
+    assert chunks.select("url").distinct().count() == stats["final"]
+    assert chunks.agg(F.max("n_words")).first()[0] <= 64
+
+    # incremental mode honors --decontaminate
+    eval_dir = str(tmp_path / "inc_eval")
+    kept = quality_filter(spark, pages).filter("keep")
+    kept.limit(3).select(F.col("text_scrubbed").alias("text")).write.parquet(eval_dir)
+    out2 = str(tmp_path / "out_inc")
+    stats2 = run_incremental(spark, build_args(
+        ["--mode", "incremental", "--input", in_dir, "--output", out2,
+         "--sig-store", str(tmp_path / "store"), "--decontaminate", eval_dir]
+    ))
+    assert stats2["decontaminated_docs_dropped"] >= 1
