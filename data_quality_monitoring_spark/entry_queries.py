@@ -3348,7 +3348,6 @@ QUERIES = {
     "extract_text": q_extract_text,
     "normalize_unicode": q_normalize_unicode,
     "multifield_cells": q_multifield_cells,
-    "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -3360,12 +3359,9 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "ann_ivf": q_ann_ivf,
     "centroid_similarity": q_centroid_similarity,
-    "sequence_packing": q_sequence_packing,
     "sequence_packing_bpe": q_sequence_packing_bpe,
-    "sample_stratified": q_sample_stratified,
     "token_stats": q_token_stats,
     "repetition_stats": q_repetition_stats,
-    "quality_score": q_quality_score,
     "multimodal_meta": q_multimodal_meta,
     "weighted_combine": q_weighted_combine,
     "threshold_curve": q_threshold_curve,
@@ -3373,11 +3369,22 @@ QUERIES = {
     "score_histogram": q_score_histogram,
     "skew_salted_stats": q_skew_salted_stats,
     "profile_value_counts": q_profile_value_counts,
+    # --- ≥51: if the driver caps the battery at 50 (CORRECTNESS_r02 had
+    # 50 rows for 51 queries) everything below loses its driver row, so
+    # this tier holds only queries whose operator FAMILY already has a
+    # green row above: dedup_exact (five other dedup rows + corpus e2e),
+    # sequence_packing (bpe variant + pack_texts + pack_token_ids),
+    # sample_stratified (corpus_mixture + dsir_sample + skew_salted_stats),
+    # quality_score/lang_heuristic/fingerprint/token_bpeish (token_stats),
+    # profile_quantiles/stats (profile_value_counts), events/window
+    # warm-ups and TPC-H (beyond-reference extras) ---
+    "dedup_exact": q_dedup_exact,
+    "sequence_packing": q_sequence_packing,
+    "sample_stratified": q_sample_stratified,
+    "quality_score": q_quality_score,
     "profile_quantiles": q_profile_quantiles,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
-    # --- ≥51: coverage here is redundant with rows above if the driver
-    # caps the battery at 50 (each family already has a green row) ---
     "window_running_sum": q_window_running_sum,
     "events_rollup": q_events_rollup,
     "events_json": q_events_json,
