@@ -42,6 +42,7 @@ HEADLINE = [
     "langid_scores",  # in-query distributed NB train + Arrow score (round 3)
     "perplexity_scores",  # in-query distributed bigram-LM train + score (round 3)
     "perplexity_buckets",  # CCNet head/middle/tail tiers (round 3)
+    "perplexity_trigram",  # higher-order KenLM-style tier (round 3, late)
     "url_canonical",  # codegen-only crawl-dedup key (round 3)
     "corpus_mixture",  # source-weighted token-budget assembly (round 3)
     "host_pagerank",  # iterative link-graph reputation (round 3)

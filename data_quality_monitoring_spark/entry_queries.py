@@ -3068,6 +3068,75 @@ FROM p GROUP BY lang, shard, pack_id
 SQL_PACK_TOKEN_IDS = _pack_token_ids_sql()
 
 
+# ------------------------------------------------- trigram perplexity tier
+
+def q_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order "KenLM-style" tier: interpolated TRIGRAM LM — FULLY
+    ORACLED the same way as the bigram contract (q_perplexity_scores).
+
+    One LM per language trained in-query on the clean slice by the
+    single-aggregation distributed trainer (every lower-order count folds
+    out of the trigram table); scoring replays
+    ``0.5·c(uvw)/c(uv) + 0.3·c(vw)/c(v) + 0.2·(c(w)+0.5)/(N+0.5·10000)``
+    per token — rational count arithmetic DuckDB reproduces exactly."""
+    from .operators.perplexity import perplexity_column, train_trigram_distributed
+
+    d = _read(spark, sf_dir, "documents")
+    models = train_trigram_distributed(
+        d.filter(F.col("n_chars") >= 300), max_vocab=1_000_000
+    )
+    score = perplexity_column(spark, models, F.col("text"), F.col("lang"))
+    return d.select("doc_id", F.round(score, 6).alias("ppl3"))
+
+
+SQL_PERPLEXITY_TRIGRAM = f"""
+WITH tr AS (
+  SELECT lang, {_PYWORDS_SQL.format(c="text")} AS toks
+  FROM documents WHERE n_chars >= 300 AND lang IS NOT NULL
+), trb AS (
+  SELECT lang,
+         CASE WHEN pos <= 2 THEN '<s>' ELSE toks[pos - 2] END AS u,
+         CASE WHEN pos = 1 THEN '<s>' ELSE toks[pos - 1] END AS v,
+         toks[pos] AS w
+  FROM (SELECT lang, toks, generate_subscripts(toks, 1) AS pos FROM tr)
+), tri AS (SELECT lang, u, v, w, count(*)::DOUBLE AS c FROM trb GROUP BY lang, u, v, w),
+ctx2 AS (SELECT lang, u, v, count(*)::DOUBLE AS c FROM trb GROUP BY lang, u, v),
+bi AS (SELECT lang, v, w, count(*)::DOUBLE AS c FROM trb GROUP BY lang, v, w),
+ctx1 AS (SELECT lang, v, count(*)::DOUBLE AS c FROM trb GROUP BY lang, v),
+wrd AS (SELECT lang, w, count(*)::DOUBLE AS c FROM trb GROUP BY lang, w),
+nt AS (SELECT lang, count(*)::DOUBLE AS n FROM trb GROUP BY lang),
+sc AS (
+  SELECT doc_id, {_PYWORDS_SQL.format(c="text")} AS toks,
+         CASE WHEN lang IN (SELECT lang FROM tr) THEN lang ELSE 'en' END AS g
+  FROM documents
+), scb AS (
+  SELECT doc_id, g, len(toks) AS n_toks,
+         CASE WHEN pos <= 2 THEN '<s>' ELSE toks[pos - 2] END AS u,
+         CASE WHEN pos = 1 THEN '<s>' ELSE toks[pos - 1] END AS v,
+         toks[pos] AS w
+  FROM (SELECT doc_id, g, toks, generate_subscripts(toks, 1) AS pos FROM sc)
+), tok AS (
+  SELECT scb.doc_id, scb.n_toks,
+         -ln(0.5 * (CASE WHEN coalesce(ctx2.c, 0) > 0
+                         THEN coalesce(tri.c, 0) / ctx2.c ELSE 0.0 END)
+             + 0.3 * (CASE WHEN coalesce(ctx1.c, 0) > 0
+                           THEN coalesce(bi.c, 0) / ctx1.c ELSE 0.0 END)
+             + 0.2 * ((coalesce(wrd.c, 0) + 0.5) / (nt.n + 0.5 * 10000))) AS nll
+  FROM scb
+  JOIN nt ON nt.lang = scb.g
+  LEFT JOIN tri  ON tri.lang = scb.g AND tri.u = scb.u AND tri.v = scb.v AND tri.w = scb.w
+  LEFT JOIN ctx2 ON ctx2.lang = scb.g AND ctx2.u = scb.u AND ctx2.v = scb.v
+  LEFT JOIN bi   ON bi.lang = scb.g AND bi.v = scb.v AND bi.w = scb.w
+  LEFT JOIN ctx1 ON ctx1.lang = scb.g AND ctx1.v = scb.v
+  LEFT JOIN wrd  ON wrd.lang = scb.g AND wrd.w = scb.w
+)
+SELECT d.doc_id, round(s.ppl, 6) AS ppl3
+FROM documents d
+LEFT JOIN (SELECT doc_id, sum(nll) / any_value(n_toks) AS ppl FROM tok GROUP BY doc_id) s
+  ON s.doc_id = d.doc_id
+"""
+
+
 # ------------------------------------------------- context-window chunking
 
 CHUNK_WORDS, CHUNK_OVERLAP = 64, 8
@@ -3339,6 +3408,7 @@ QUERIES = {
     "dsir_sample": q_dsir_sample,
     "pack_token_ids": q_pack_token_ids,
     "chunk_documents": q_chunk_documents,
+    "perplexity_trigram": q_perplexity_trigram,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
     "keyword_check": q_keyword_check,
@@ -3460,6 +3530,7 @@ ORACLES = {
     "dsir_sample": SQL_DSIR_SAMPLE,
     "pack_token_ids": SQL_PACK_TOKEN_IDS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "perplexity_trigram": SQL_PERPLEXITY_TRIGRAM,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,

@@ -355,3 +355,195 @@ def perplexity_buckets(
         scored.join(bucketed, id_col, "left")
         .withColumn("ppl_bucket", F.coalesce("ppl_bucket", F.lit("unscored")))
     )
+
+
+BOS2 = "<s>"  # both backoff positions share the single BOS symbol
+
+
+@dataclass
+class TrigramLM:
+    """Interpolated trigram LM — the higher-order "KenLM-style" tier.
+
+    ``P(w|u,v) = λ3·c(uvw)/c(uv) + λ2·c(vw)/c(v)
+                 + (1−λ3−λ2)·(c(w)+k)/(N+k·V_smooth)``
+
+    Every lower-order statistic folds out of the single trigram count
+    table (c(vw)=Σ_u c(uvw), c(uv)=Σ_w, c(v)=Σ_{u,w}, N=Σ), so training
+    is ONE distributed aggregation; scoring keeps BigramLM's vectorised
+    sorted-flat-key searchsorted probes (three of them).  Same scoring
+    contract as BigramLM (mean NLL, ERROR_SCORE, duck-typed ``nll``) —
+    drop-in for perplexity_column / perplexity_finding / the CCNet
+    buckets."""
+
+    vocab: dict[str, int]
+    tri: dict[tuple[int, int, int], float]  # (u, v, w) -> count
+    k: float = 0.5
+    lam3: float = 0.5
+    lam2: float = 0.3
+    v_smooth: float = 10_000.0
+
+    def __post_init__(self) -> None:
+        from collections import Counter
+
+        v = len(self.vocab) + 1  # + UNK slot
+        self._v = v
+        bi: Counter = Counter()
+        ctx2: Counter = Counter()
+        ctx1 = np.zeros(v, dtype=np.float64)
+        word = np.zeros(v, dtype=np.float64)
+        n = 0.0
+        for (a, b, c), cnt in self.tri.items():
+            bi[(b, c)] += cnt
+            ctx2[(a, b)] += cnt
+            ctx1[b] += cnt
+            word[c] += cnt
+            n += cnt
+        self._ctx1, self._word, self._n = ctx1, word, n
+
+        def flat(d, rank):
+            keys = np.fromiter(
+                (
+                    sum(part * v ** (rank - 1 - i) for i, part in enumerate(kk))
+                    for kk in d
+                ),
+                dtype=np.int64,
+                count=len(d),
+            )
+            vals = np.fromiter(d.values(), dtype=np.float64, count=len(d))
+            order = np.argsort(keys)
+            return keys[order], vals[order]
+
+        self._tri_k, self._tri_v = flat(self.tri, 3)
+        self._bi_k, self._bi_v = flat(bi, 2)
+        self._c2_k, self._c2_v = flat(ctx2, 2)
+
+    @staticmethod
+    def _probe(keys_sorted, vals, keys):
+        if not len(keys_sorted):
+            return np.zeros(len(keys), dtype=np.float64)
+        pos = np.minimum(np.searchsorted(keys_sorted, keys), len(keys_sorted) - 1)
+        return np.where(keys_sorted[pos] == keys, vals[pos], 0.0)
+
+    def nll(self, text: str) -> float:
+        toks = _tokens(text)
+        if not toks:
+            return ERROR_SCORE
+        v = self._v
+        ids = np.fromiter(
+            (self.vocab.get(t, UNK_ID) for t in toks), dtype=np.int64, count=len(toks)
+        )
+        bos = self.vocab.get(BOS, UNK_ID)
+        p1 = np.empty_like(ids)  # v = previous token
+        p1[0] = bos
+        p1[1:] = ids[:-1]
+        p2 = np.empty_like(ids)  # u = token before that
+        p2[0] = bos
+        p2[1:] = p1[:-1]
+        c_tri = self._probe(self._tri_k, self._tri_v, (p2 * v + p1) * v + ids)
+        c_ctx2 = self._probe(self._c2_k, self._c2_v, p2 * v + p1)
+        c_bi = self._probe(self._bi_k, self._bi_v, p1 * v + ids)
+        c_ctx1 = self._ctx1[p1]
+        p3 = np.divide(c_tri, c_ctx2, out=np.zeros_like(c_tri), where=c_ctx2 > 0)
+        pb = np.divide(c_bi, c_ctx1, out=np.zeros_like(c_bi), where=c_ctx1 > 0)
+        pu = (self._word[ids] + self.k) / (self._n + self.k * self.v_smooth)
+        lam1 = 1.0 - self.lam3 - self.lam2
+        nlls = -np.log(self.lam3 * p3 + self.lam2 * pb + lam1 * pu)
+        return float(nlls.sum() / len(ids))
+
+
+def train_trigram(texts: list[str], max_vocab: int = 50_000, k: float = 0.5) -> TrigramLM:
+    """Local closed-form trigram training (same vocab rule as train_bigram)."""
+    from collections import Counter
+
+    uni: Counter = Counter()
+    for t in texts:
+        uni.update(_tokens(t))
+    top = [w for w, _ in sorted(uni.items(), key=lambda x: (-x[1], x[0]))][: max_vocab - 2]
+    vocab = {BOS: 1}
+    for w in top:
+        vocab[w] = len(vocab) + 1
+    tri: dict[tuple[int, int, int], float] = {}
+    bos = vocab[BOS]
+    for t in texts:
+        ids = [vocab.get(w, UNK_ID) for w in _tokens(t)]
+        u, v_ = bos, bos
+        for cur in ids:
+            key = (u, v_, cur)
+            tri[key] = tri.get(key, 0.0) + 1
+            u, v_ = v_, cur
+    return TrigramLM(vocab, tri, k)
+
+
+def train_trigram_distributed(
+    docs,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    max_vocab: int = 50_000,
+    k: float = 0.5,
+) -> dict[str, TrigramLM]:
+    """Distributed trigram training: the vocab pass of
+    train_bigram_distributed plus ONE (lang, trigram-key) count
+    aggregation — every lower-order count folds out of it in TrigramLM,
+    so the shuffle payload is bounded by trigram-type counts (map-side
+    combined), never corpus size."""
+    from collections import defaultdict
+
+    spark = docs.sparkSession
+    docs = docs.filter(F.col(lang_col).isNotNull())
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def toks(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: [] if t is None else _tokens(t))
+
+    uni = (
+        docs.select(F.col(lang_col).alias("lang"), F.explode(toks(F.col(text_col))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per_lang: dict[str, list] = defaultdict(list)
+    for r in uni:
+        per_lang[r["lang"]].append((r["w"], r["n"]))
+    vocabs: dict[str, dict[str, int]] = {}
+    for lang, wc in per_lang.items():
+        top = [w for w, _ in sorted(wc, key=lambda x: (-x[1], x[0]))][: max_vocab - 2]
+        vocab = {BOS: 1}
+        for w in top:
+            vocab[w] = len(vocab) + 1
+        vocabs[lang] = vocab
+    bc = spark.sparkContext.broadcast(vocabs)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def tri_keys(texts: pd.Series, langs_s: pd.Series) -> pd.Series:
+        vs = bc.value
+        out = []
+        for t, lg in zip(texts, langs_s):
+            vocab = vs.get(lg)
+            if t is None or vocab is None:
+                out.append([])
+                continue
+            v = len(vocab) + 1
+            ids = [vocab.get(w, UNK_ID) for w in _tokens(t)]
+            u, pv = vocab[BOS], vocab[BOS]
+            keys = []
+            for cur in ids:
+                keys.append((u * v + pv) * v + cur)
+                u, pv = pv, cur
+            out.append(keys)
+        return pd.Series(out)
+
+    counts = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(tri_keys(F.col(text_col), F.col(lang_col))).alias("key"),
+        )
+        .groupBy("lang", "key")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    tris: dict[str, dict[tuple[int, int, int], float]] = defaultdict(dict)
+    for r in counts:
+        v = len(vocabs[r["lang"]]) + 1
+        key = r["key"]
+        tris[r["lang"]][(key // (v * v), (key // v) % v, key % v)] = float(r["n"])
+    return {lang: TrigramLM(vocab, tris.get(lang, {}), k) for lang, vocab in vocabs.items()}

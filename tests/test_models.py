@@ -312,3 +312,34 @@ def test_langid_null_claim_skips_mismatch():
     assert s["claimed_score"].iloc[1] == 0.0
     assert s["claimed_score"].iloc[2] > 0.5
     assert s["pred_lang"].iloc[0] == "en"  # prediction still emitted
+
+
+def test_trigram_distributed_matches_local_and_separates(spark):
+    """train_trigram_distributed is bit-identical to the local trainer; the
+    trigram tier scores in-domain continuations below the bigram tier and
+    junk far above clean — the property that makes the higher-order
+    "KenLM-style" model worth its extra counts."""
+    import pandas as pd
+
+    from data_quality_monitoring_spark.artifacts import training_texts
+    from data_quality_monitoring_spark.operators.perplexity import (
+        train_bigram,
+        train_trigram,
+        train_trigram_distributed,
+    )
+
+    texts = training_texts("en", 30)
+    docs = spark.createDataFrame(
+        pd.DataFrame([(t, "en") for t in texts], columns=["text", "lang"])
+    )
+    local = train_trigram(texts)
+    dist = train_trigram_distributed(docs)["en"]
+    assert dist.vocab == local.vocab
+    assert dist.tri == local.tri
+
+    clean = texts[0]
+    junk = "zq wv xx jkl pq mn vv kq " * 6
+    assert local.nll(junk) > local.nll(clean) + 2.0
+    bigram = train_bigram(texts)
+    # higher order helps on in-domain text (strictly lower mean NLL)
+    assert local.nll(clean) < bigram.nll(clean)
