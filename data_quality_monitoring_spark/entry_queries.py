@@ -3413,7 +3413,6 @@ QUERIES = {
     "rule_fire_counts": q_rule_fire_counts,
     "keyword_check": q_keyword_check,
     "pattern_lang": q_pattern_lang,
-    "lang_distribution": q_lang_distribution,
     "scrub_pii": q_scrub_pii,
     "extract_text": q_extract_text,
     "normalize_unicode": q_normalize_unicode,
@@ -3443,12 +3442,14 @@ QUERIES = {
     # 50 rows for 51 queries) everything below loses its driver row, so
     # this tier holds only queries whose operator FAMILY already has a
     # green row above: dedup_exact (five other dedup rows + corpus e2e),
+    # lang_distribution (pattern_lang covers the pattern family),
     # sequence_packing (bpe variant + pack_texts + pack_token_ids),
     # sample_stratified (corpus_mixture + dsir_sample + skew_salted_stats),
     # quality_score/lang_heuristic/fingerprint/token_bpeish (token_stats),
     # profile_quantiles/stats (profile_value_counts), events/window
     # warm-ups and TPC-H (beyond-reference extras) ---
     "dedup_exact": q_dedup_exact,
+    "lang_distribution": q_lang_distribution,
     "sequence_packing": q_sequence_packing,
     "sample_stratified": q_sample_stratified,
     "quality_score": q_quality_score,
