@@ -97,3 +97,13 @@ def get_quality_model():
         t for lang in LANGS for t in training_texts(lang, N_TRAIN_DOCS // len(LANGS))
     ]
     return train_quality_classifier(good, junk_texts(len(good)))
+
+
+@lru_cache(maxsize=1)
+def get_trigram_models() -> dict:
+    """Per-language trigram LMs from the same frozen seeded corpus — the
+    opt-in higher-order LLM tier (`--llm-order 3`); duck-types BigramLM's
+    scoring contract so quality_filter takes it via ``bigram_models=``."""
+    from .operators.perplexity import train_trigram
+
+    return {lang: train_trigram(training_texts(lang)) for lang in LANGS}

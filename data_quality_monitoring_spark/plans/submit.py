@@ -227,6 +227,13 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "column) for --dsir-top",
     )
     p.add_argument(
+        "--llm-order", type=int, choices=[2, 3], default=2,
+        help="filter/incremental modes: n-gram order of the LLM-slot "
+        "perplexity model — 2 = frozen bigram artifacts (the reference "
+        "contract, default), 3 = frozen trigram artifacts "
+        "(operators/perplexity.TrigramLM)",
+    )
+    p.add_argument(
         "--chunk-words", type=int, default=None,
         help="corpus mode: also write corpus_chunks/ — every doc split "
         "into fixed word windows of this size for long-document "
@@ -264,6 +271,16 @@ def _parse_methods(raw: str | None) -> list[str] | None:
             f"(choose from {', '.join(_KNOWN_METHODS)})"
         )
     return methods
+
+
+def _llm_models(args):
+    """--llm-order 3 swaps the frozen trigram artifacts into the LLM slot
+    (duck-typed scoring contract); None keeps the default bigram tier."""
+    if getattr(args, "llm_order", 2) == 3:
+        from ..artifacts import get_trigram_models
+
+        return get_trigram_models()
+    return None
 
 
 def _apply_noindex(pages, args):
@@ -348,6 +365,7 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
         res = quality_filter(
             spark, slice_df, combine=args.combine, regex_engine=args.regex_engine,
             methods=methods, cascade=getattr(args, "cascade", False),
+            bigram_models=_llm_models(args),
         )
         keep_cols = [
             c for c in ("url", "warc_ts", "lang", "keep", "verdict",
@@ -703,6 +721,7 @@ def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
         spark, pages, combine=args.combine, regex_engine=args.regex_engine,
         methods=_parse_methods(getattr(args, "methods", None)),
         cascade=getattr(args, "cascade", False),
+        bigram_models=_llm_models(args),
     )
     # persist: the dedup plan consumes this three times (feature pass,
     # batch count, final accepted write) — without the cache each pass

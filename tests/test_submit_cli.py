@@ -642,3 +642,24 @@ def test_corpus_mode_chunks_and_incremental_decontaminate(spark, tmp_path):
          "--sig-store", str(tmp_path / "store"), "--decontaminate", eval_dir]
     ))
     assert stats2["decontaminated_docs_dropped"] >= 1
+
+
+def test_filter_llm_order_3(spark, tmp_path):
+    """--llm-order 3 runs the trigram tier through the real filter CLI:
+    ppl scores populate, and the scores genuinely differ from bigram."""
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in_l3")
+    generate_pages(spark, 120, partitions=2).write.parquet(in_dir)
+    out2 = str(tmp_path / "out_l2")
+    out3 = str(tmp_path / "out_l3")
+    run(spark, build_args(["--input", in_dir, "--output", out2,
+                           "--n-buckets", "4", "--chunk-buckets", "4"]))
+    run(spark, build_args(["--input", in_dir, "--output", out3,
+                           "--n-buckets", "4", "--chunk-buckets", "4",
+                           "--llm-order", "3"]))
+    d2 = spark.read.parquet(f"{out2}/data").select("url", F.col("ppl_score").alias("p2"))
+    d3 = spark.read.parquet(f"{out3}/data").select("url", F.col("ppl_score").alias("p3"))
+    j = d2.join(d3, "url").filter(F.col("p2").isNotNull())
+    assert j.count() > 0
+    assert j.filter(F.col("p2") != F.col("p3")).count() > 0
