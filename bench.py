@@ -48,6 +48,7 @@ HEADLINE = [
     "host_pagerank",  # iterative link-graph reputation (round 3)
     "host_quality",  # RefinedWeb host blocklist aggregation (round 3)
     "link_edges",  # html→outlink host edges, pure codegen (round 3)
+    "anchor_terms",  # anchor-text reputation signal (round 3, late)
     "shuffled_shards",  # global training-shard shuffle (round 3)
     "pack_texts",  # loader-ready pack materialization (round 3)
     "noindex_pages",  # robots-meta opt-out detection (round 3)

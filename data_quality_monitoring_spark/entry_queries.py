@@ -3068,6 +3068,91 @@ FROM p GROUP BY lang, shard, pack_id
 SQL_PACK_TOKEN_IDS = _pack_token_ids_sql()
 
 
+# ------------------------------------------------- anchor-text aggregation
+
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (linkgraph.anchor_term_stats) — FULLY
+    ORACLED.  Synthetic pages exercise mixed-case tags/hrefs, a nested
+    ``<b>`` tag that must strip, multi-space anchors that must collapse,
+    and relative / mailto / self-link anchors that must NOT count; DuckDB
+    replays element extraction, href + inner-text pulls, tag-strip,
+    term-split and the per-(dst, term) distinct-source count."""
+    from .operators.linkgraph import anchor_term_stats
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    html = F.concat(
+        F.lit('<html><a  href="https://Dest'), s(did % 29),
+        F.lit('.Example.COM/x">Visit  <b>term'), s(did % 11),
+        F.lit("</b>\n now</a>"),
+        F.lit('<a href="/rel">skip</a>'),
+        F.when(
+            did % 6 == 0,
+            F.concat(
+                F.lit("<A HREF='https://src"), s(did % 31),
+                F.lit(".example.com/self'>self link</A>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit('<a href="mailto:a@b.c">mail</a>')).otherwise(
+            F.lit("")
+        ),
+        F.lit("</html>"),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://src"), s(did % 31), F.lit(".example.com/p/"), s(did)
+        ).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return anchor_term_stats(pages)
+
+
+SQL_ANCHOR_TERMS = r"""
+WITH pages AS (
+  SELECT 'src' || (doc_id % 31)::VARCHAR || '.example.com' AS src,
+    '<html><a  href="https://Dest' || (doc_id % 29)::VARCHAR
+    || '.Example.COM/x">Visit  <b>term' || (doc_id % 11)::VARCHAR
+    || '</b>' || chr(10) || ' now</a>'
+    || '<a href="/rel">skip</a>'
+    || CASE WHEN doc_id % 6 = 0
+            THEN '<A HREF=''https://src' || (doc_id % 31)::VARCHAR || '.example.com/self''>self link</A>'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN '<a href="mailto:a@b.c">mail</a>' ELSE '' END
+    || '</html>' AS html
+  FROM documents
+), els AS (
+  SELECT src,
+         unnest(regexp_extract_all(html,
+           '(?is)<a\s[^>]*href\s*=\s*["''][^"'']+["''][^>]*>.*?</a>', 0)) AS el
+  FROM pages
+), parsed AS (
+  SELECT src,
+         regexp_extract(el, '(?i)href\s*=\s*["'']([^"'']+)["'']', 1) AS href,
+         trim(regexp_replace(regexp_replace(
+           regexp_extract(el, '(?is)>(.*)</a>$', 1),
+           '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS txt
+  FROM els
+), rows_ AS (
+  SELECT src,
+    regexp_replace(lower(regexp_extract(regexp_extract(
+      regexp_replace(href, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+      '^([^/?#]*)', 1), '^([^:]*)', 1)), '^www\.', '') AS dst,
+    unnest(list_filter(regexp_split_to_array(lower(txt), '[ \t\n\r\f\x0B]+'),
+                       w -> w <> '')) AS term
+  FROM parsed
+  WHERE regexp_matches(href, '(?i)^https?://')
+)
+SELECT dst, term, count(DISTINCT src)::BIGINT AS n_srcs
+FROM rows_
+WHERE dst <> '' AND src <> '' AND dst <> src
+GROUP BY dst, term
+"""
+
+
 # ------------------------------------------------- trigram perplexity tier
 
 def q_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3409,9 +3494,9 @@ QUERIES = {
     "pack_token_ids": q_pack_token_ids,
     "chunk_documents": q_chunk_documents,
     "perplexity_trigram": q_perplexity_trigram,
+    "anchor_terms": q_anchor_terms,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
-    "keyword_check": q_keyword_check,
     "pattern_lang": q_pattern_lang,
     "scrub_pii": q_scrub_pii,
     "extract_text": q_extract_text,
@@ -3442,6 +3527,7 @@ QUERIES = {
     # 50 rows for 51 queries) everything below loses its driver row, so
     # this tier holds only queries whose operator FAMILY already has a
     # green row above: dedup_exact (five other dedup rows + corpus e2e),
+    # keyword_check (rule_firsthit + rule_fire_counts + multifield_cells),
     # lang_distribution (pattern_lang covers the pattern family),
     # sequence_packing (bpe variant + pack_texts + pack_token_ids),
     # sample_stratified (corpus_mixture + dsir_sample + skew_salted_stats),
@@ -3449,6 +3535,7 @@ QUERIES = {
     # profile_quantiles/stats (profile_value_counts), events/window
     # warm-ups and TPC-H (beyond-reference extras) ---
     "dedup_exact": q_dedup_exact,
+    "keyword_check": q_keyword_check,
     "lang_distribution": q_lang_distribution,
     "sequence_packing": q_sequence_packing,
     "sample_stratified": q_sample_stratified,
@@ -3532,6 +3619,7 @@ ORACLES = {
     "pack_token_ids": SQL_PACK_TOKEN_IDS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "perplexity_trigram": SQL_PERPLEXITY_TRIGRAM,
+    "anchor_terms": SQL_ANCHOR_TERMS,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,

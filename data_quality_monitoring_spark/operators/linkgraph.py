@@ -145,3 +145,51 @@ def extract_link_edges(
     if drop_self:
         edges = edges.filter(F.col("src") != F.col("dst"))
     return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_links"))
+
+
+def anchor_term_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Anchor-text aggregation: ``(dst, term, n_srcs)`` — how many distinct
+    source HOSTS link to ``dst`` using this lowercased anchor word.  The
+    classic link-graph relevance/reputation signal (search engines and
+    crawl-quality pipelines aggregate what the web *calls* a host; spam
+    farms show up as many links but few distinct anchor vocabularies).
+
+    Same pure-codegen shape as :func:`extract_link_edges`: decode, ONE
+    ``regexp_extract_all`` for whole ``<a …href…>…</a>`` elements (lazy
+    body match; an attribute value containing ``>`` truncates that one
+    anchor — documented tolerance, same class as malformed-byte repair),
+    per-element href/inner-text extraction, tag-strip, whitespace-split.
+    Self-links and relative/mailto targets drop exactly as in the edge
+    list.  Two map-side-combined shuffles: the (dst, term, src) distinct
+    and the count."""
+    from .urls import url_host
+
+    els = F.regexp_extract_all(
+        F.make_valid_utf8(F.col(html_col).cast("string")),
+        F.lit(r"""(?is)<a\s[^>]*href\s*=\s*["'][^"']+["'][^>]*>.*?</a>"""),
+        0,
+    )
+    ex = pages.select(
+        url_host(F.col(url_col)).alias("src"), F.explode(els).alias("el")
+    )
+    href = F.regexp_extract(F.col("el"), r"""(?i)href\s*=\s*["']([^"']+)["']""", 1)
+    inner = F.regexp_extract(F.col("el"), r"(?is)>(.*)</a>$", 1)
+    text = F.trim(F.regexp_replace(F.regexp_replace(inner, r"<[^>]*>", " "), r"\s+", " "))
+    terms = F.filter(F.split(F.lower(text), r"[ \t\n\r\f\x0B]+"), lambda x: x != "")
+    rows = (
+        ex.withColumn("href", href)
+        .filter(F.col("href").rlike(r"(?i)^https?://"))
+        .select(
+            "src",
+            url_host(F.col("href")).alias("dst"),
+            F.explode(terms).alias("term"),
+        )
+        .filter((F.col("dst") != "") & (F.col("src") != "") & (F.col("dst") != F.col("src")))
+    )
+    return rows.groupBy("dst", "term").agg(
+        F.count_distinct(F.col("src")).alias("n_srcs")
+    )

@@ -156,6 +156,12 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(chr(30) separator), the layout a training loader streams",
     )
     p.add_argument(
+        "--anchor-terms", action="store_true",
+        help="link-graph mode: also write anchors/ — per-(dst host, anchor "
+        "word) distinct-source counts, the classic anchor-text "
+        "relevance/reputation signal (operators/linkgraph.anchor_term_stats)",
+    )
+    p.add_argument(
         "--pagerank-iters", type=int, default=5,
         help="link-graph mode: synchronous PageRank iterations over the "
         "extracted host edge list (default 5)",
@@ -840,12 +846,20 @@ def run_link_graph(spark: SparkSession, args: argparse.Namespace) -> dict:
     ranks.write.mode("overwrite").parquet(f"{args.output}/ranks")
     ranks = spark.read.parquet(f"{args.output}/ranks")
     top = ranks.orderBy(F.desc("rank")).first()
-    return {
+    out = {
         "edges": edges.count(),
         "hosts": ranks.count(),
         "top_host": top["node"] if top else None,
         "top_rank": float(top["rank"]) if top else None,
     }
+    if getattr(args, "anchor_terms", False):
+        from ..operators.linkgraph import anchor_term_stats
+
+        anchor_term_stats(pages).write.mode("overwrite").parquet(
+            f"{args.output}/anchors"
+        )
+        out["anchor_terms"] = spark.read.parquet(f"{args.output}/anchors").count()
+    return out
 
 
 _MODES = {

@@ -455,3 +455,29 @@ def test_fuzzy_decontaminate_self_match_is_one(spark):
     bench = spark.createDataFrame([(9, t)], "bid long, text string")
     out = fuzzy_decontaminate(docs, bench, "doc_id", "bid").toPandas()
     assert len(out) == 1 and out["jaccard"].iloc[0] == 1.0
+
+
+def test_anchor_term_stats(spark):
+    from data_quality_monitoring_spark.operators.linkgraph import anchor_term_stats
+
+    html = (
+        '<html><a href="https://A.example.com/x">Great <b>News</b> Site</a>'
+        "<A HREF='http://b.example.com/'>  spam   casino </A>"
+        '<a href="/rel">relative skipped</a>'
+        '<a href="mailto:a@b.c">mail skipped</a>'
+        '<a href="https://src1.com/self">self skipped</a></html>'
+    )
+    pages = spark.createDataFrame(
+        [("https://src1.com/p", bytearray(html, "utf8")),
+         ("https://src2.com/p", bytearray(html, "utf8"))],
+        "url string, html binary",
+    )
+    out = anchor_term_stats(pages).toPandas()
+    got = {(r["dst"], r["term"]): r["n_srcs"] for _, r in out.iterrows()}
+    # tag stripped, whitespace collapsed, lowercased, both srcs counted
+    assert got[("a.example.com", "great")] == 2
+    assert got[("a.example.com", "news")] == 2
+    assert got[("b.example.com", "casino")] == 2
+    # self link counted only for the non-self source
+    assert got.get(("src1.com", "self"), 1) == 1
+    assert not any(d == "" for d, _ in got)

@@ -502,13 +502,17 @@ def test_link_graph_mode(spark, tmp_path):
     out = str(tmp_path / "graph")
     summary = run_link_graph(spark, build_args(
         ["--mode", "link-graph", "--input", in_dir, "--output", out,
-         "--pagerank-iters", "5"]))
+         "--pagerank-iters", "5", "--anchor-terms"]))
     assert summary["top_host"] == "hub.example.com"
     assert summary["hosts"] == 9  # 8 sources + hub
     edges = spark.read.parquet(f"{out}/edges")
     assert edges.filter("dst = 'hub.example.com'").count() == 8
     ranks = spark.read.parquet(f"{out}/ranks")
     assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-9
+    anchors = spark.read.parquet(f"{out}/anchors")
+    hub = anchors.filter("dst = 'hub.example.com' and term = 'hub'").first()
+    assert hub is not None and hub["n_srcs"] == 8
+    assert summary["anchor_terms"] == anchors.count()
 
 
 def test_filter_mode_honor_noindex(spark, tmp_path):
