@@ -49,6 +49,7 @@ HEADLINE = [
     "host_quality",  # RefinedWeb host blocklist aggregation (round 3)
     "link_edges",  # html→outlink host edges, pure codegen (round 3)
     "anchor_terms",  # anchor-text reputation signal (round 3, late)
+    "tfidf_terms",  # per-doc tf-idf keywords (round 3, late)
     "shuffled_shards",  # global training-shard shuffle (round 3)
     "pack_texts",  # loader-ready pack materialization (round 3)
     "noindex_pages",  # robots-meta opt-out detection (round 3)

@@ -3068,6 +3068,45 @@ FROM p GROUP BY lang, shard, pack_id
 SQL_PACK_TOKEN_IDS = _pack_token_ids_sql()
 
 
+# ------------------------------------------------- tf-idf top terms
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf·idf keywords (textstats.tfidf_top_terms) — FULLY
+    ORACLED: DuckDB recomputes term frequencies, the vocabulary-sized df
+    table, idf = ln(N/df) and the rank on the rounded score with the
+    identical (score desc, term asc) tiebreak."""
+    from .operators.textstats import tfidf_top_terms
+
+    d = _read(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", k=5)
+
+
+SQL_TFIDF_TERMS = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '{_WS_SQL}+'),
+                     w -> w <> '') AS words
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(words) AS term FROM t
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(n.n::DOUBLE / df.df), 6) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf::BIGINT AS tf, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 # ------------------------------------------------- anchor-text aggregation
 
 def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3495,6 +3534,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "perplexity_trigram": q_perplexity_trigram,
     "anchor_terms": q_anchor_terms,
+    "tfidf_terms": q_tfidf_terms,
     "rule_firsthit": q_rule_firsthit,
     "rule_fire_counts": q_rule_fire_counts,
     "pattern_lang": q_pattern_lang,
@@ -3510,7 +3550,6 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "decontamination": q_decontamination,
     "embedding_near_dup": q_embedding_near_dup,
-    "similarity_topk": q_similarity_topk,
     "ann_ivf": q_ann_ivf,
     "centroid_similarity": q_centroid_similarity,
     "sequence_packing_bpe": q_sequence_packing_bpe,
@@ -3527,6 +3566,8 @@ QUERIES = {
     # 50 rows for 51 queries) everything below loses its driver row, so
     # this tier holds only queries whose operator FAMILY already has a
     # green row above: dedup_exact (five other dedup rows + corpus e2e),
+    # similarity_topk (ann_ivf + centroid_similarity cover the ANN family,
+    #   and the brute-force baseline is the recall pin in pytest),
     # keyword_check (rule_firsthit + rule_fire_counts + multifield_cells),
     # lang_distribution (pattern_lang covers the pattern family),
     # sequence_packing (bpe variant + pack_texts + pack_token_ids),
@@ -3535,6 +3576,7 @@ QUERIES = {
     # profile_quantiles/stats (profile_value_counts), events/window
     # warm-ups and TPC-H (beyond-reference extras) ---
     "dedup_exact": q_dedup_exact,
+    "similarity_topk": q_similarity_topk,
     "keyword_check": q_keyword_check,
     "lang_distribution": q_lang_distribution,
     "sequence_packing": q_sequence_packing,
@@ -3620,6 +3662,7 @@ ORACLES = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "perplexity_trigram": SQL_PERPLEXITY_TRIGRAM,
     "anchor_terms": SQL_ANCHOR_TERMS,
+    "tfidf_terms": SQL_TFIDF_TERMS,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,

@@ -4,7 +4,7 @@ native Column expressions (whole-stage codegen, no Python)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _WS = r"[ \t\n\r\f\x0B]"  # \x0B not \v: Java \v is a class, see rules.py
@@ -93,3 +93,48 @@ def fingerprint_md5(col: Column) -> Column:
     """Portable (engine-agnostic) fingerprint for oracle-checked queries."""
     norm = F.regexp_replace(F.lower(F.trim(col)), rf"{_WS}+", " ")
     return F.md5(norm)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    key: str,
+    text_col: str = "text",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf — the classic corpus-exploration
+    / clustering primitive (keyword summaries, near-topic grouping,
+    boilerplate diagnosis).  ``(key, term, tf, score, rank)``.
+
+    Relational shape: one token explode → per-(doc, term) counts
+    (map-side combined), a vocabulary-sized document-frequency table
+    joined back on the term key, idf = ln(N/df) with N riding a 1-row
+    broadcast (no driver action), and a per-doc window bounded by the
+    doc's own vocabulary.  Rank is computed on the ROUNDED score (ties →
+    term asc) so an independent engine agrees bit-for-bit."""
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[ \t\n\r\f\x0B]+"),
+        lambda x: x != "",
+    )
+    tokens = docs.select(F.col(key), F.explode(words).alias("term"))
+    tf = tokens.groupBy(key, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n = docs.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            key,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("_n") / F.col("_df")), round_to
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(key, "term", "tf", "score", "rank")
+    )

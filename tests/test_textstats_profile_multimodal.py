@@ -255,3 +255,22 @@ def test_resize_images_real_png(spark):
     small = resize_pixels(px, 3, 2)
     assert small.shape == (2, 3, 3)
     assert (small[0, 0] == [255, 0, 0]).all() and (small[0, 2] == [0, 255, 0]).all()
+
+
+def test_tfidf_top_terms(spark):
+    from data_quality_monitoring_spark.operators.textstats import tfidf_top_terms
+
+    d = spark.createDataFrame(
+        [(0, "cat cat cat shared shared"), (1, "dog shared shared"),
+         (2, "bird unique words here shared")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(d, "doc_id", k=2).toPandas()
+    top = {r["doc_id"]: r["term"] for _, r in out[out["rank"] == 1].iterrows()}
+    assert top == {0: "cat", 1: "dog", 2: "bird"}
+    # a term present in every doc has idf ln(1) = 0
+    shared = out[(out["term"] == "shared")]["score"]
+    assert (shared == 0.0).all()
+    # determinism under repartition
+    out2 = tfidf_top_terms(d.repartition(7), "doc_id", k=2).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(map(tuple, out2.values.tolist()))
