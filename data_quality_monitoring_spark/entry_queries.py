@@ -2324,7 +2324,7 @@ wrd AS (SELECT lang, cur, count(*)::DOUBLE AS c FROM trb GROUP BY lang, cur),
 nt AS (SELECT lang, count(*)::DOUBLE AS n FROM trb GROUP BY lang),
 sc AS (
   SELECT doc_id, {_PYWORDS_SQL.format(c="text")} AS toks,
-         CASE WHEN lang IN (SELECT lang FROM tr) THEN lang ELSE 'en' END AS g
+         CASE WHEN lang IN (SELECT lang FROM nt) THEN lang ELSE 'en' END AS g
   FROM documents
 ), scb AS (
   SELECT doc_id, g, len(toks) AS n_toks,
@@ -3231,7 +3231,7 @@ wrd AS (SELECT lang, w, count(*)::DOUBLE AS c FROM trb GROUP BY lang, w),
 nt AS (SELECT lang, count(*)::DOUBLE AS n FROM trb GROUP BY lang),
 sc AS (
   SELECT doc_id, {_PYWORDS_SQL.format(c="text")} AS toks,
-         CASE WHEN lang IN (SELECT lang FROM tr) THEN lang ELSE 'en' END AS g
+         CASE WHEN lang IN (SELECT lang FROM nt) THEN lang ELSE 'en' END AS g
   FROM documents
 ), scb AS (
   SELECT doc_id, g, len(toks) AS n_toks,

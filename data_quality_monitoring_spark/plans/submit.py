@@ -233,6 +233,17 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "column) for --dsir-top",
     )
     p.add_argument(
+        "--min-word-count", type=int, default=1,
+        help="llm-train: floor on word counts before the per-language "
+        "top-k vocab window — prunes the hapax tail off the sort task "
+        "(web scale: >=2; default 1 = exact)",
+    )
+    p.add_argument(
+        "--ngram-min-count", type=int, default=1,
+        help="llm-train: floor on n-gram-type counts before the model "
+        "collect (KenLM-style count pruning; default 1 = exact)",
+    )
+    p.add_argument(
         "--llm-order", type=int, choices=[2, 3], default=2,
         help="filter/incremental modes: n-gram order of the LLM-slot "
         "perplexity model — 2 = frozen bigram artifacts (the reference "
@@ -258,7 +269,10 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "incremental mode: same, keep-first across batches against the "
         "gram store at <sig-store>_grams",
     )
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if getattr(args, "dsir_top", None) and not getattr(args, "dsir_target", None):
+        p.error("--dsir-top requires --dsir-target (parquet of target-distribution docs)")
+    return args
 
 
 _KNOWN_METHODS = ("validation", "pattern", "ml", "llm", "quality_model")
@@ -432,8 +446,16 @@ def _apply_decontaminate(spark: SparkSession, docs, args, stats: dict):
     decon = getattr(args, "decontaminate", None)
     if not decon:
         return docs
-    bench = spark.read.parquet(decon).select(
-        F.monotonically_increasing_id().alias("_bid"), F.col("text")
+    # deterministic bench id: fuzzy decontamination evaluates this frame
+    # several times (band table, signature agg, shingle join) — a
+    # monotonically_increasing_id could renumber between re-scans and pair
+    # candidate bands with the wrong bench doc's shingles; md5(text) is
+    # stable across scans (and collapses byte-identical bench dups, which
+    # are one contamination source anyway)
+    bench = (
+        spark.read.parquet(decon)
+        .select(F.md5(F.col("text")).alias("_bid"), F.col("text"))
+        .dropDuplicates(["_bid"])
     )
     if getattr(args, "decontaminate_mode", "exact") == "fuzzy":
         from ..operators.dedup import fuzzy_decontaminate
@@ -610,7 +632,11 @@ def run_llm_train(spark: SparkSession, args: argparse.Namespace) -> dict:
     from ..operators.perplexity import save_bigram_npz, train_bigram_distributed
 
     docs = spark.read.parquet(args.input)
-    models = train_bigram_distributed(docs)
+    models = train_bigram_distributed(
+        docs,
+        min_word_count=getattr(args, "min_word_count", 1),
+        ngram_min_count=getattr(args, "ngram_min_count", 1),
+    )
     Path(args.output).mkdir(parents=True, exist_ok=True)
     summary = {}
     for lang, lm in sorted(models.items()):
@@ -769,6 +795,11 @@ def run_incremental(spark: SparkSession, args: argparse.Namespace) -> dict:
     deconned = _apply_decontaminate(spark, kept, args, pre_stats)
     if pre_stats:
         deconned = deconned.persist()
+        # materialize the new cache while kept's is still live — the fill
+        # pass is then just the anti-join over cached kept; unpersisting
+        # first would make the next action replay the whole quality_filter
+        # + decontamination lineage from the parquet scan
+        deconned.count()
         kept.unpersist()
         kept = deconned
 

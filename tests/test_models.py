@@ -343,3 +343,71 @@ def test_trigram_distributed_matches_local_and_separates(spark):
     bigram = train_bigram(texts)
     # higher order helps on in-domain text (strictly lower mean NLL)
     assert local.nll(clean) < bigram.nll(clean)
+
+
+def test_lm_trainer_driver_collect_is_bounded(spark):
+    """VERDICT r3 task 1: on a heavy-tail-vocab corpus the vocab pass cuts
+    top-k per language ON the cluster — the driver collects at most
+    langs × (max_vocab - 2) rows — and the n-gram-type floor prunes the
+    collected count table, while floor=1 stays bit-identical to local."""
+    import pandas as pd
+
+    from data_quality_monitoring_spark.operators.perplexity import (
+        _build_vocabs,
+        _vocab_rows,
+        train_bigram,
+        train_bigram_distributed,
+        train_trigram_distributed,
+    )
+
+    # heavy-tail: 2 langs × 1200 hapax words each + a few frequent ones
+    rows = []
+    for lang in ("en", "de"):
+        for i in range(30):
+            toks = [f"{lang}w{i * 40 + j}" for j in range(40)]
+            rows.append((f"the of and {' '.join(toks)}", lang))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["text", "lang"]))
+
+    max_vocab = 50
+    vrows = _vocab_rows(docs, "text", "lang", max_vocab, min_word_count=1)
+    assert len(vrows) <= 2 * (max_vocab - 2)  # the bound the fix exists for
+    per_lang_ranks = {}
+    for r in vrows:
+        per_lang_ranks.setdefault(r["lang"], []).append(r["r"])
+    for lang, ranks in per_lang_ranks.items():
+        assert sorted(ranks) == list(range(1, max_vocab - 1))
+
+    # selection identical to the local trainer's (-count, word) cut
+    en_texts = [t for t, lang in rows if lang == "en"]
+    assert _build_vocabs(vrows)["en"] == train_bigram(en_texts, max_vocab=max_vocab).vocab
+
+    # min_word_count floors the window input: only the 3 frequent words stay
+    floored = _vocab_rows(docs, "text", "lang", max_vocab, min_word_count=2)
+    assert {r["w"] for r in floored} == {"the", "of", "and"}
+
+    # ngram_min_count floors the collected n-gram types
+    lm = train_bigram_distributed(docs, max_vocab=max_vocab, ngram_min_count=2)["en"]
+    assert lm.bi and all(v >= 2 for v in lm.bi.values())
+    assert lm.n_tokens == sum(lm.bi.values())  # lower orders fold from kept types
+    tl = train_trigram_distributed(docs, max_vocab=max_vocab, ngram_min_count=2)["en"]
+    assert tl.tri and all(v >= 2 for v in tl.tri.values())
+
+
+def test_trigram_npz_roundtrip(tmp_path):
+    """save_trigram_npz / load_trigram_npz: the broadcast-from-storage path
+    reproduces scores exactly."""
+    from data_quality_monitoring_spark.artifacts import training_texts
+    from data_quality_monitoring_spark.operators.perplexity import (
+        load_trigram_npz,
+        save_trigram_npz,
+        train_trigram,
+    )
+
+    texts = training_texts("en", 20)
+    lm = train_trigram(texts)
+    p = str(tmp_path / "tri_en.npz")
+    save_trigram_npz(lm, p)
+    back = load_trigram_npz(p)
+    assert back.vocab == lm.vocab and back.tri == lm.tri
+    for probe in (texts[0], "zq wv xx unseen " * 4):
+        assert back.nll(probe) == lm.nll(probe)
