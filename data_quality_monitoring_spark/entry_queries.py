@@ -3508,73 +3508,12 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 100
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
-    # Order matters: CORRECTNESS_r02 recorded exactly 50 rows for 51
-    # queries, so the driver appears to cap the battery — keep the
-    # flagship + distinctive operators first and the generic TPC-H /
-    # window warm-ups last, where a cap can only drop redundant coverage.
-    "pipeline_verdict": q_pipeline_verdict,
-    "pipeline_verdict_full": q_pipeline_verdict_full,
-    "pipeline_rules_verdict": q_pipeline_rules_verdict,
-    "langid_scores": q_langid_scores,
-    "quality_model_scores": q_quality_model_scores,
-    "perplexity_scores": q_perplexity_scores,
-    "perplexity_buckets": q_perplexity_buckets,
-    "url_canonical": q_url_canonical,
-    "host_pagerank": q_host_pagerank,
-    "host_quality": q_host_quality,
-    "link_edges": q_link_edges,
-    "shuffled_shards": q_shuffled_shards,
-    "pack_texts": q_pack_texts,
-    "noindex_pages": q_noindex_pages,
-    "corpus_mixture": q_corpus_mixture,
-    "semantic_dedup": q_semantic_dedup,
-    "fuzzy_decontamination": q_fuzzy_decontamination,
-    "dsir_sample": q_dsir_sample,
-    "pack_token_ids": q_pack_token_ids,
-    "chunk_documents": q_chunk_documents,
-    "perplexity_trigram": q_perplexity_trigram,
-    "anchor_terms": q_anchor_terms,
-    "tfidf_terms": q_tfidf_terms,
-    "rule_firsthit": q_rule_firsthit,
-    "rule_fire_counts": q_rule_fire_counts,
-    "pattern_lang": q_pattern_lang,
-    "scrub_pii": q_scrub_pii,
-    "extract_text": q_extract_text,
-    "normalize_unicode": q_normalize_unicode,
-    "multifield_cells": q_multifield_cells,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_substring": q_dedup_substring,
-    "line_dedup": q_line_dedup,
-    "decontamination": q_decontamination,
-    "embedding_near_dup": q_embedding_near_dup,
-    "ann_ivf": q_ann_ivf,
-    "centroid_similarity": q_centroid_similarity,
-    "sequence_packing_bpe": q_sequence_packing_bpe,
-    "token_stats": q_token_stats,
-    "repetition_stats": q_repetition_stats,
-    "multimodal_meta": q_multimodal_meta,
-    "weighted_combine": q_weighted_combine,
-    "threshold_curve": q_threshold_curve,
-    "confusion_matrix": q_confusion_matrix,
-    "score_histogram": q_score_histogram,
-    "skew_salted_stats": q_skew_salted_stats,
-    "profile_value_counts": q_profile_value_counts,
-    # --- ≥51: if the driver caps the battery at 50 (CORRECTNESS_r02 had
-    # 50 rows for 51 queries) everything below loses its driver row, so
-    # this tier holds only queries whose operator FAMILY already has a
-    # green row above: dedup_exact (five other dedup rows + corpus e2e),
-    # similarity_topk (ann_ivf + centroid_similarity cover the ANN family,
-    #   and the brute-force baseline is the recall pin in pytest),
-    # keyword_check (rule_firsthit + rule_fire_counts + multifield_cells),
-    # lang_distribution (pattern_lang covers the pattern family),
-    # sequence_packing (bpe variant + pack_texts + pack_token_ids),
-    # sample_stratified (corpus_mixture + dsir_sample + skew_salted_stats),
-    # quality_score/lang_heuristic/fingerprint/token_bpeish (token_stats),
-    # profile_quantiles/stats (profile_value_counts), events/window
-    # warm-ups and TPC-H (beyond-reference extras) ---
+    # Order matters: the driver caps its per-round battery at 50 queries
+    # (CORRECTNESS_r02/r03), so ordering ROTATES coverage round-by-round
+    # (VERDICT r3 task 3): the longest-unchecked queries go FIRST.
+    #
+    # Tier 1 (this round's stale set — last driver row r1/r2): the 21
+    # queries the r3 battery did not reach.
     "dedup_exact": q_dedup_exact,
     "similarity_topk": q_similarity_topk,
     "keyword_check": q_keyword_check,
@@ -3596,6 +3535,66 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "tpch_q1": q_tpch_q1,
     "revenue_by_nation": q_revenue_by_nation,
+    # Tier 2 (r3-green, re-checked this round): the flagship, every query
+    # whose code changed this round (perplexity/langid trainers, dsir), and
+    # the distinctive single-operator contracts.
+    "pipeline_verdict": q_pipeline_verdict,
+    "pipeline_verdict_full": q_pipeline_verdict_full,
+    "pipeline_rules_verdict": q_pipeline_rules_verdict,
+    "langid_scores": q_langid_scores,
+    "quality_model_scores": q_quality_model_scores,
+    "perplexity_scores": q_perplexity_scores,
+    "perplexity_trigram": q_perplexity_trigram,
+    "perplexity_buckets": q_perplexity_buckets,
+    "dsir_sample": q_dsir_sample,
+    "host_pagerank": q_host_pagerank,
+    "host_quality": q_host_quality,
+    "link_edges": q_link_edges,
+    "anchor_terms": q_anchor_terms,
+    "url_canonical": q_url_canonical,
+    "noindex_pages": q_noindex_pages,
+    "corpus_mixture": q_corpus_mixture,
+    "semantic_dedup": q_semantic_dedup,
+    "fuzzy_decontamination": q_fuzzy_decontamination,
+    "decontamination": q_decontamination,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_ivf": q_ann_ivf,
+    "centroid_similarity": q_centroid_similarity,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_substring": q_dedup_substring,
+    "line_dedup": q_line_dedup,
+    "multifield_cells": q_multifield_cells,
+    # Tier 3 (≥51 — drops off a 50-query battery THIS round only; every
+    # entry here has a green r3 row, so it stays within the two-round
+    # freshness window and rotates to tier 1 next round): family-redundant
+    # contracts (packing family has 4 green siblings above via
+    # sequence_packing; rules via rule-family rows in tiers 1-2; text
+    # stats via token_bpeish/fingerprint; metrics via weighted/threshold
+    # pytest + tier-2 rows).
+    "shuffled_shards": q_shuffled_shards,
+    "pack_texts": q_pack_texts,
+    "pack_token_ids": q_pack_token_ids,
+    "chunk_documents": q_chunk_documents,
+    "sequence_packing_bpe": q_sequence_packing_bpe,
+    "tfidf_terms": q_tfidf_terms,
+    "rule_firsthit": q_rule_firsthit,
+    "rule_fire_counts": q_rule_fire_counts,
+    "pattern_lang": q_pattern_lang,
+    "scrub_pii": q_scrub_pii,
+    "extract_text": q_extract_text,
+    "normalize_unicode": q_normalize_unicode,
+    "token_stats": q_token_stats,
+    "repetition_stats": q_repetition_stats,
+    "multimodal_meta": q_multimodal_meta,
+    "weighted_combine": q_weighted_combine,
+    "threshold_curve": q_threshold_curve,
+    "confusion_matrix": q_confusion_matrix,
+    "score_histogram": q_score_histogram,
+    "skew_salted_stats": q_skew_salted_stats,
+    "profile_value_counts": q_profile_value_counts,
 }
 
 ORACLES = {
