@@ -2396,7 +2396,9 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     score = perplexity_column(spark, models, F.col("text"), F.col("lang"))
     scored = d.select("doc_id", "lang", F.round(score, 6).alias("ppl"))
-    return perplexity_buckets(scored).select("doc_id", "ppl", "ppl_bucket")
+    # mode pinned: the oracle replays exact integer-rank arithmetic; the
+    # operator's default is "auto" (threshold form above 5M scored rows)
+    return perplexity_buckets(scored, mode="rank").select("doc_id", "ppl", "ppl_bucket")
 
 
 def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -367,8 +367,9 @@ def perplexity_buckets(
     lang_col: str = "lang",
     score_col: str = "ppl",
     id_col: str = "doc_id",
-    mode: str = "rank",
+    mode: str = "auto",
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    rank_cutoff: int = 5_000_000,
 ) -> DataFrame:
     """CCNet-style head/middle/tail partitioning by per-language perplexity.
 
@@ -395,6 +396,14 @@ def perplexity_buckets(
       tier away from the rank form — irrelevant at corpus scale, which is
       why CCNet itself ships thresholds, not ranks.
 
+    ``mode="auto"`` (the default) picks for you: exact ranks up to
+    ``rank_cutoff`` scored rows, thresholds above — so a caller who never
+    thinks about it cannot accidentally ship the per-language global sort
+    to a 100-TB run (one language is half the corpus there; percent_rank
+    would serialize it through single task chains).  The cutoff check is
+    one extra count() over the scored frame; pass an explicit mode to skip
+    it.  The contract oracle pins ``mode="rank"`` explicitly.
+
     NULL scores (empty/unscorable docs) are excluded from the window and
     labeled ``unscored`` — deterministic in every engine regardless of its
     NULL-ordering default.
@@ -404,6 +413,8 @@ def perplexity_buckets(
     nn = scored.filter(F.col(score_col).isNotNull()).select(
         F.col(id_col), F.col(score_col), key
     )
+    if mode == "auto":
+        mode = "rank" if nn.count() <= rank_cutoff else "threshold"
     if mode == "rank":
         w = Window.partitionBy("_bl").orderBy(F.col(score_col).asc(), F.col(id_col).asc())
         ranked = nn.select(id_col, F.percent_rank().over(w).alias("_pr"))
@@ -427,7 +438,7 @@ def perplexity_buckets(
             .alias("ppl_bucket"),
         )
     else:
-        raise ValueError(f"unknown mode {mode!r}: use 'rank' or 'threshold'")
+        raise ValueError(f"unknown mode {mode!r}: use 'auto', 'rank' or 'threshold'")
     return (
         scored.join(bucketed, id_col, "left")
         .withColumn("ppl_bucket", F.coalesce("ppl_bucket", F.lit("unscored")))

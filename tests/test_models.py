@@ -296,6 +296,31 @@ def test_perplexity_buckets_threshold_mode_has_no_window_sort(spark):
     assert "Window" in rank_plan
 
 
+def test_perplexity_buckets_auto_mode_row_cutoff(spark):
+    """Default mode='auto' (VERDICT r3 task 5): small frames get the exact
+    rank form; above rank_cutoff the plan flips to broadcast thresholds —
+    a caller who never picks a mode cannot ship the per-language global
+    sort to a 100-TB run."""
+    from data_quality_monitoring_spark.operators.perplexity import perplexity_buckets
+
+    scored = spark.createDataFrame(
+        [(f"d{i}", "en", float(i)) for i in range(12)],
+        "doc_id string, lang string, ppl double",
+    )
+    small = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(scored).collect()}
+    exact = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(scored, mode="rank").collect()
+    }
+    assert small == exact  # 12 rows << 5M default cutoff → rank form
+    big_plan = (
+        perplexity_buckets(scored, mode="auto", rank_cutoff=0)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Window" not in big_plan
+    assert "percentile_approx" in big_plan
+
+
 def test_langid_null_claim_skips_mismatch():
     """Raw-crawl semantics: claimed lang None → no mismatch finding (score
     None); a claimed-but-untrained lang still flags (score 0.0)."""

@@ -446,6 +446,22 @@ def test_filter_mode_ppl_tiers(spark, tmp_path):
     ).count() <= out.filter(F.col("ppl_score").isNotNull()).count() * 0.2
     # resume no-op still works with the tier column
     assert run(spark, args)["chunks_run"] == 0
+    # scale-path plan assertion (VERDICT r3 task 5): the tier machinery the
+    # CLI ships must never plan an unpartitioned or per-language window —
+    # at 100 TB one language is half the corpus.  The CLI computes cuts via
+    # percentile_approx on a sample (above); the operator's auto mode must
+    # pick the same window-free form once past its row cutoff.
+    from data_quality_monitoring_spark.operators.perplexity import perplexity_buckets
+
+    scored = out.select(
+        F.col("url").alias("doc_id"), F.lit("en").alias("lang"),
+        F.col("ppl_score").alias("ppl"),
+    )
+    plan = (
+        perplexity_buckets(scored, score_col="ppl", mode="auto", rank_cutoff=0)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Window" not in plan
 
 
 def test_corpus_mode_shuffle_shards(spark, tmp_path):
