@@ -249,8 +249,34 @@ def dsir_sample(
     scored = s.select(
         key, F.round(F.col("avg_log_ratio") - F.log(-F.log(u)), round_to).alias("score")
     )
-    # top-n as TakeOrdered (per-partition top-n then merge — no global sort);
-    # the rank window then runs over the already-bounded n-row result
+    # top-n as TakeOrdered (per-partition top-n then merge — no global
+    # sort).  n is the scale ceiling of this operator: TakeOrdered merges
+    # the n winners through one task, comfortable to ~10^7; for a larger
+    # keep-set select by a score THRESHOLD (percentile_approx) instead of
+    # by rank.
     top = scored.orderBy(F.desc("score"), F.asc(key)).limit(n)
-    w = Window.orderBy(F.desc("score"), F.asc(key))
-    return top.withColumn("rank", F.row_number().over(w)).select(key, "score", "rank")
+    # Exact global ranks WITHOUT a global window (VERDICT r3 task 9):
+    # range-partition the bounded top-n by the same total order (unique —
+    # keys break score ties), row_number within each range, then add the
+    # cumulative size of preceding ranges.  No WindowExec-over-one-
+    # partition stage; ranks are partitioning-invariant by construction.
+    spark = top.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")) // 4, 2)
+    parted = top.repartitionByRange(nparts, F.desc("score"), F.asc(key)).withColumn(
+        "_pid", F.spark_partition_id()
+    ).persist()
+    sizes = {
+        r["_pid"]: r["_n"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    }  # ≤ nparts rows on the driver
+    offs, acc = [], 0
+    for pid in sorted(sizes):  # range partition ids follow the sort order
+        offs.append((pid, acc))
+        acc += sizes[pid]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(F.desc("score"), F.asc(key))
+    return (
+        parted.join(F.broadcast(off_df), "_pid")
+        .withColumn("rank", F.row_number().over(w) + F.col("_off"))
+        .select(key, "score", "rank")
+    )
