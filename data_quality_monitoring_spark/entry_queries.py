@@ -3263,6 +3263,117 @@ LEFT JOIN (SELECT doc_id, sum(nll) / any_value(n_toks) AS ppl FROM tok GROUP BY 
 """
 
 
+# ------------------------------------------- optional LLM detector tiers
+
+# few-shot example set for the in-context tier: clean-corpus-domain
+# sentences (fixed literals — the reference ships examples as config)
+ICL_EXAMPLES = (
+    "the data table row value part hash join window filter scan",
+    "spark query plan column agg order batch line customer small fast",
+)
+ICL_THRESHOLD = 0.30
+# tuned so the sf0.01 contract corpus populates ALL THREE decision branches
+# (ICL short-circuit / HIGH_PERPLEXITY / no finding)
+LLM_TIER_THRESHOLD = 4.2
+
+
+def q_llm_tier_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's three OPTIONAL LLM-detector tiers — FULLY ORACLED
+    (the last SURVEY §2 gap, reference llm_anomaly_detector.py:41-175,
+    447-511; VERDICT r3 task 6).
+
+    Base score = the same in-query-trained bigram LM as perplexity_scores
+    (hash-green).  Dynamic-encoding tier: the context column here is
+    ``nullif(lang, 'en')`` — a derived stand-in for a sometimes-null
+    context column (the synthetic corpus has none natively) — so non-en
+    rows exercise the present-context branch (score × 1.1) and en rows the
+    absent one, per the reference's non-null gate.  Prototype tier on:
+    × 1.05.  In-context tier: max cosine between the doc's word-md5
+    bucket-count vector and two few-shot examples; sim < 0.30
+    SHORT-CIRCUITS with LLM_IN_CONTEXT_ANOMALY and probability 1 − sim,
+    else score > 4.2 → HIGH_PERPLEXITY with probability
+    min(score/10, 1)."""
+    from .operators.llm_tiers import (
+        dynamic_context_flag,
+        enhanced_score,
+        fewshot_max_cosine,
+        llm_tier_finding,
+    )
+    from .operators.perplexity import perplexity_column, train_bigram_distributed
+
+    d = _read(spark, sf_dir, "documents")
+    models = train_bigram_distributed(
+        d.filter(F.col("n_chars") >= 300), max_vocab=1_000_000
+    )
+    base = F.round(
+        perplexity_column(spark, models, F.col("text"), F.col("lang")), 6
+    )
+    dyn = dynamic_context_flag(
+        context_cols=[F.nullif(F.col("lang"), F.lit("en"))]
+    )
+    enh = F.round(enhanced_score(base, dynamic=dyn, prototype=True), 6)
+    sim = F.round(fewshot_max_cosine(spark, list(ICL_EXAMPLES), F.col("text")), 6)
+    finding = llm_tier_finding(
+        enh, threshold=LLM_TIER_THRESHOLD, icl_sim=sim, icl_threshold=ICL_THRESHOLD
+    )
+    return d.select(
+        "doc_id",
+        enh.alias("score_enh"),
+        sim.alias("icl_sim"),
+        finding["code"].alias("code"),
+        F.round(finding["probability"], 6).alias("probability"),
+    )
+
+
+def _icl_examples_values_sql() -> str:
+    rows = ", ".join(
+        f"({i + 1}, '{t}')" for i, t in enumerate(ICL_EXAMPLES)
+    )
+    return f"(VALUES {rows}) AS _ex(eid, etext)"
+
+
+SQL_LLM_TIER_VERDICT = f"""
+WITH {_SQL_PPL_CTES},
+base AS (
+  SELECT d.doc_id, d.text, d.lang, round(s.ppl, 6) AS ppl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, sum(nll) / any_value(n_toks) AS ppl
+             FROM tok GROUP BY doc_id) s ON s.doc_id = d.doc_id
+), enh AS (
+  SELECT doc_id,
+         round((CASE WHEN nullif(lang, 'en') IS NOT NULL
+                     THEN ppl * 1.1 ELSE ppl END) * 1.05, 6) AS score_enh
+  FROM base
+), ex AS (SELECT eid, etext FROM {_icl_examples_values_sql()}),
+exb AS (
+  SELECT eid, {_MD5_BUCKET_SQL.format(w="w")} AS b, count(*)::DOUBLE AS c
+  FROM (SELECT eid, unnest({_PYWORDS_SQL.format(c="etext")}) AS w FROM ex)
+  GROUP BY eid, b
+), exn AS (SELECT eid, sqrt(sum(c * c)) AS nrm FROM exb GROUP BY eid),
+docb AS (
+  SELECT doc_id, {_MD5_BUCKET_SQL.format(w="w")} AS b, count(*)::DOUBLE AS c
+  FROM (SELECT doc_id, unnest({_PYWORDS_SQL.format(c="text")}) AS w FROM documents)
+  GROUP BY doc_id, b
+), docn AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM docb GROUP BY doc_id),
+dots AS (
+  SELECT docb.doc_id, exb.eid, sum(docb.c * exb.c) AS dot
+  FROM docb JOIN exb USING (b) GROUP BY docb.doc_id, exb.eid
+), icl AS (
+  SELECT docn.doc_id, round(max(coalesce(dots.dot, 0.0) / (docn.nrm * exn.nrm)), 6) AS sim
+  FROM docn CROSS JOIN exn
+  LEFT JOIN dots ON dots.doc_id = docn.doc_id AND dots.eid = exn.eid
+  GROUP BY docn.doc_id
+)
+SELECT e.doc_id, e.score_enh, icl.sim AS icl_sim,
+       CASE WHEN icl.sim < {ICL_THRESHOLD} THEN 'LLM_IN_CONTEXT_ANOMALY'
+            WHEN e.score_enh > {LLM_TIER_THRESHOLD} THEN 'HIGH_PERPLEXITY' END AS code,
+       round(CASE WHEN icl.sim < {ICL_THRESHOLD} THEN greatest(1.0 - icl.sim, 0.0)
+                  WHEN e.score_enh > {LLM_TIER_THRESHOLD}
+                       THEN least(e.score_enh / 10.0, 1.0) END, 6) AS probability
+FROM enh e LEFT JOIN icl ON icl.doc_id = e.doc_id
+"""
+
+
 # ------------------------------------------------- context-window chunking
 
 CHUNK_WORDS, CHUNK_OVERLAP = 64, 8
@@ -3548,6 +3659,7 @@ QUERIES = {
     "perplexity_scores": q_perplexity_scores,
     "perplexity_trigram": q_perplexity_trigram,
     "perplexity_buckets": q_perplexity_buckets,
+    "llm_tier_verdict": q_llm_tier_verdict,  # optional LLM tiers (round 4)
     "dsir_sample": q_dsir_sample,
     "host_pagerank": q_host_pagerank,
     "host_quality": q_host_quality,
@@ -3662,6 +3774,7 @@ ORACLES = {
     "pack_token_ids": SQL_PACK_TOKEN_IDS,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "perplexity_trigram": SQL_PERPLEXITY_TRIGRAM,
+    "llm_tier_verdict": SQL_LLM_TIER_VERDICT,
     "anchor_terms": SQL_ANCHOR_TERMS,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,

@@ -57,6 +57,7 @@ def quality_filter(
     langid_model=None,
     bigram_models=None,
     cascade: bool = False,
+    llm_tiers: dict | None = None,
 ) -> DataFrame:
     """Attach findings, verdict, keep flag and scrubbed text to a pages df.
 
@@ -86,6 +87,14 @@ def quality_filter(
     this is the difference between scoring the crawl and scoring the
     corpus.  Off by default: the reference computes every family for
     every row.
+
+    ``llm_tiers`` turns on the reference's optional LLM-detector tiers
+    (llm_anomaly_detector.py:264-266, off by default there too; see
+    operators/llm_tiers.py for the exact semantics).  Keys:
+    ``temporal_col`` / ``context_cols`` (dynamic encoding, score × 1.1
+    when a context is present), ``prototype`` (bool, score × 1.05),
+    ``fewshot_examples`` (list[str], in-context short-circuit) and
+    ``icl_threshold`` (default 0.7).
     """
     rules = rules if rules is not None else default_rules()
     pattern_cfg = pattern_cfg if pattern_cfg is not None else default_pattern_cfg()
@@ -130,7 +139,41 @@ def quality_filter(
     if "ml" in methods:
         stage2["f_ml"] = L.langid_finding(F.col("langid"), ml_threshold)
     if "llm" in methods:
-        stage2["f_llm"] = P.perplexity_finding(F.col("ppl_score"), llm_threshold)
+        if llm_tiers:
+            from ..operators import llm_tiers as LT
+
+            dyn = None
+            if llm_tiers.get("temporal_col") or llm_tiers.get("context_cols"):
+                dyn = LT.dynamic_context_flag(
+                    temporal=(
+                        F.col(llm_tiers["temporal_col"])
+                        if llm_tiers.get("temporal_col")
+                        else None
+                    ),
+                    context_cols=[
+                        F.col(c) for c in llm_tiers.get("context_cols", [])
+                    ],
+                )
+            enh = LT.enhanced_score(
+                F.col("ppl_score"),
+                dynamic=dyn,
+                prototype=bool(llm_tiers.get("prototype")),
+            )
+            sim = (
+                LT.fewshot_max_cosine(
+                    spark, list(llm_tiers["fewshot_examples"]), model_text
+                )
+                if llm_tiers.get("fewshot_examples")
+                else None
+            )
+            stage2["f_llm"] = LT.llm_tier_finding(
+                enh,
+                llm_threshold,
+                icl_sim=sim,
+                icl_threshold=float(llm_tiers.get("icl_threshold", 0.7)),
+            )
+        else:
+            stage2["f_llm"] = P.perplexity_finding(F.col("ppl_score"), llm_threshold)
     if "quality_model" in methods:
         from ..operators import quality_model as QM
 
