@@ -39,10 +39,33 @@ def pagerank(
     dst: str = "dst",
     n_iter: int = 5,
     damping: float = 0.85,
+    tol: float | None = None,
+    checkpoint_interval: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` synchronous PageRank steps over the
     distinct edge list, with uniform teleport and dangling-mass
-    redistribution.  Ranks sum to 1 at every step."""
+    redistribution.  Ranks sum to 1 at every step.
+
+    ``tol``: when set, ``n_iter`` becomes a CEILING and the loop stops as
+    soon as the L1 delta ``sum(|rank_t - rank_{t-1}|)`` between consecutive
+    materialized states drops to ``tol`` or below — the production form for
+    a 10^8-host graph, where "run exactly 5 rounds" wastes rounds on a
+    converged graph and truncates a slow one.  The loop body is IDENTICAL
+    to the fixed-iteration form (same joins, same aggregation); only the
+    stop rule changes, so the contract oracle's unrolled-SQL replay stays
+    valid for ``tol=None``.
+
+    ``checkpoint_interval``: materialize (``localCheckpoint``) every k-th
+    iteration instead of every one.  Intermediate rounds stay lazy lineage,
+    so one Spark job computes k PageRank steps — fewer job-scheduling
+    round-trips on small graphs where per-job overhead dominates (the 53-host
+    sf0.1 fixture spends ~85% of its wall on scheduling, not data).  With
+    ``tol`` set, convergence is checked only at materialization points.
+
+    ``stats``: optional dict, filled with ``iterations`` and ``l1_deltas``
+    (one entry per materialized check when ``tol`` is set) for bench/audit.
+    """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -72,8 +95,12 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     base = (1.0 - damping) / n
+    k = max(1, int(checkpoint_interval))
+    l1_deltas: list[float] = []
+    done = 0
     try:
-        for _ in range(n_iter):
+        prev_ckpt = ranks  # last MATERIALIZED state, for the L1 check
+        for it in range(n_iter):
             summed = e_aug.join(
                 ranks.withColumnRenamed("node", "src"), "src"
             ).groupBy("dst").agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
@@ -96,8 +123,26 @@ def pagerank(
                         )
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=True)
             )
+            done = it + 1
+            if done % k == 0 or done == n_iter:
+                ranks = ranks.localCheckpoint(eager=True)
+                if tol is not None:
+                    delta = (
+                        ranks.join(
+                            prev_ckpt.withColumnRenamed("rank", "prev_rank"), "node"
+                        )
+                        .agg(F.sum(F.abs(F.col("rank") - F.col("prev_rank"))))
+                        .first()[0]
+                        or 0.0
+                    )
+                    l1_deltas.append(float(delta))
+                    if delta <= tol:
+                        break
+                prev_ckpt = ranks
+        if stats is not None:
+            stats["iterations"] = done
+            stats["l1_deltas"] = l1_deltas
         return ranks
     finally:
         nodes.unpersist()

@@ -233,6 +233,12 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "column) for --dsir-top",
     )
     p.add_argument(
+        "--probe-n", type=int, default=200,
+        help="ml-train / llm-train: held-out sample size for the "
+        "post-training quality probe (reference "
+        "model_training.py:400-563); 0 disables",
+    )
+    p.add_argument(
         "--min-word-count", type=int, default=1,
         help="llm-train: floor on word counts before the per-language "
         "top-k vocab window — prunes the hapax tail off the sort task "
@@ -621,7 +627,21 @@ def run_ml_train(spark: SparkSession, args: argparse.Namespace) -> dict:
     Path(args.output).mkdir(parents=True, exist_ok=True)
     out = str(Path(args.output) / "langid_model.npz")
     model.to_npz(out)
-    return {"langs": model.langs, "buckets": int(model.log_probs.shape[1]), "path": out}
+    summary = {
+        "langs": model.langs, "buckets": int(model.log_probs.shape[1]), "path": out,
+    }
+    probe_n = getattr(args, "probe_n", 200)
+    if probe_n:
+        # probe the artifact AS WRITTEN (npz round-trip), not the in-memory
+        # weights — the reference runs its held-out test right after
+        # training (model_training.py:400-563) and so do we
+        from ..operators.langid import LangIdModel
+        from .probe import probe_langid
+
+        report = probe_langid(spark, LangIdModel.from_npz(out), docs, n=probe_n)
+        Path(args.output, "train_probe.json").write_text(json.dumps(report, indent=1))
+        summary["probe"] = report
+    return summary
 
 
 def run_llm_train(spark: SparkSession, args: argparse.Namespace) -> dict:
@@ -643,6 +663,19 @@ def run_llm_train(spark: SparkSession, args: argparse.Namespace) -> dict:
         out = str(Path(args.output) / f"bigram_{lang}.npz")
         save_bigram_npz(lm, out)
         summary[lang] = {"vocab": len(lm.vocab), "n_tokens": lm.n_tokens, "path": out}
+    probe_n = getattr(args, "probe_n", 200)
+    if probe_n and summary:
+        # probe the artifacts AS WRITTEN (reference
+        # llm_model_training.py:366-429: normal slice vs obvious anomalies)
+        from ..operators.perplexity import load_bigram_npz
+        from .probe import probe_bigram
+
+        reloaded = {
+            lang: load_bigram_npz(info["path"]) for lang, info in summary.items()
+        }
+        report = probe_bigram(spark, reloaded, docs, n=probe_n)
+        Path(args.output, "train_probe.json").write_text(json.dumps(report, indent=1))
+        summary["_probe"] = report
     return summary
 
 

@@ -352,6 +352,78 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_tolerance_converges_to_numpy_fixed_point(spark):
+    """tol mode on a 10^4-node seeded power-law graph: the L1-stopped Spark
+    ranks match an independently converged numpy power iteration, the loop
+    stops before the iteration ceiling, and deltas are monotone-decreasing."""
+    import random
+
+    import numpy as np
+
+    from data_quality_monitoring_spark.operators.linkgraph import pagerank
+
+    rng = random.Random(7)
+    n = 10_000
+    edges = []
+    for s in range(n):
+        # Zipf-ish out-degree: most hosts link to 1-3 targets, a few to many
+        deg = min(int(1.0 / max(rng.random(), 1e-4)), 50)
+        for _ in range(deg):
+            # preferential targets: low ids get most in-links (hub skew)
+            t = int(n * rng.random() ** 3)
+            if t != s:
+                edges.append((s, t))
+    df = spark.createDataFrame(edges, "src long, dst long").coalesce(8)
+
+    stats: dict = {}
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, n_iter=100, tol=1e-4, checkpoint_interval=5, stats=stats
+        ).collect()
+    }
+    assert stats["iterations"] < 100, "tol never triggered"
+    deltas = stats["l1_deltas"]
+    assert all(b < a for a, b in zip(deltas, deltas[1:])), deltas
+
+    # independent dense fixed point (converged far past tol); at the tol
+    # stop the geometric tail bounds |spark - fixed_point| by
+    # tol * d/(1-d) ≈ 5.7e-4, so compare at 1e-3
+    d = 0.85
+    uniq = sorted(set(edges))
+    nodes = sorted({x for e in uniq for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    s_idx = np.array([idx[s] for s, _ in uniq])
+    t_idx = np.array([idx[t] for _, t in uniq])
+    od = np.bincount(s_idx, minlength=m)
+    w = 1.0 / od[s_idx]
+    dangling = od == 0
+    r = np.full(m, 1.0 / m)
+    for _ in range(400):
+        contrib = np.zeros(m)
+        np.add.at(contrib, t_idx, r[s_idx] * w)
+        r = (1 - d) / m + d * (contrib + r[dangling].sum() / m)
+    l1 = sum(abs(got[v] - r[idx[v]]) for v in nodes)
+    assert l1 < 1e-3, l1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_checkpoint_interval_identical_ranks(spark):
+    """checkpoint_interval=2 computes two steps per materialization but the
+    same math: ranks bit-identical to the every-round default."""
+    from data_quality_monitoring_spark.operators.linkgraph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 2), (3, 0), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    every = {r["node"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+    lazy = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=5, checkpoint_interval=2).collect()
+    }
+    assert every == lazy
+
+
 def test_extract_link_edges(spark):
     """href variants: double/single quotes, mixed case, relative + mailto
     ignored, self-edges dropped, duplicate links counted, malformed UTF-8

@@ -1,0 +1,107 @@
+"""Flagship linearity one order up: the 4-family quality_filter at 10M docs
+vs the 1M ladder, plus the cascade win on a rule-condemned-heavy corpus.
+
+Two questions from the round-3 review:
+
+1. does docs/s/core hold within ~10% when the corpus grows 10x (1M → 10M)?
+   The pipeline is shuffle-free (PLANS.md: 0 Exchanges), so it should —
+   this measures it instead of asserting it.
+2. how much does ``cascade=True`` (skip the model scorers for docs the
+   rule chain already condemned) save on a corpus where most docs ARE
+   rule-condemned?  The synthetic generator's bucket layout makes this
+   easy: doc_id % 16 >= 8 selects the 8 anomalous buckets, yielding a
+   condemned-heavy slice without new generator code.
+
+Usage: python tools/flagship_10m.py [n_docs] [cores] → one JSON line +
+markdown rows for BENCH.md.  Corpus parquet is cached in .scratch/.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_quality_monitoring_spark.plans.pipeline import quality_filter  # noqa: E402
+from data_quality_monitoring_spark.session import get_spark  # noqa: E402
+
+
+def ensure_corpus(spark, n_docs: int) -> str:
+    path = REPO / ".scratch" / f"flagship_{n_docs}"
+    if not path.exists():
+        from data_quality_monitoring_spark.datagen import generate_pages
+
+        generate_pages(spark, n_docs, partitions=256).write.parquet(str(path))
+    return str(path)
+
+
+def timed_filter(spark, pages, trials: int = 2, **kw) -> float:
+    res = quality_filter(spark, pages, **kw).select("url", "keep", "text_scrubbed")
+
+    def once() -> float:
+        t0 = time.time()
+        res.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    once()  # warm-up: JIT, python workers, broadcasts
+    return min(once() for _ in range(trials))
+
+
+def read_steal() -> int:
+    parts = Path("/proc/stat").read_text().splitlines()[0].split()
+    return int(parts[8]) if len(parts) > 8 else 0
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    spark = get_spark(
+        app_name="flagship_10m", cores=cores, shuffle_partitions=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false",
+                    "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024)},
+    )
+    data = ensure_corpus(spark, n_docs)
+    pages = spark.read.parquet(data)
+
+    s0 = read_steal()
+    wall = timed_filter(spark, pages)
+    # cascade on/off over the condemned-heavy slice: the generator's
+    # doc_id % 16 >= 8 selects the 8 anomalous buckets (id is the url tail)
+    heavy = (
+        pages.withColumn(
+            "_id", F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+        )
+        .filter(F.col("_id") % 16 >= 8)
+        .drop("_id")
+        .persist()
+    )
+    n_heavy = heavy.count()
+    wall_plain = timed_filter(spark, heavy)
+    wall_casc = timed_filter(spark, heavy, cascade=True)
+    heavy.unpersist()
+    steal_ticks = read_steal() - s0
+
+    out = {
+        "n_docs": n_docs,
+        "cores": cores,
+        "flagship_wall_s": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "docs_per_sec_per_core": round(n_docs / wall / cores, 1),
+        "heavy_n_docs": n_heavy,
+        "heavy_wall_s": round(wall_plain, 2),
+        "heavy_cascade_wall_s": round(wall_casc, 2),
+        "cascade_speedup": round(wall_plain / wall_casc, 3),
+        "steal_ticks": steal_ticks,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
