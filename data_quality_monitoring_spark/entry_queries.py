@@ -1634,7 +1634,11 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = d.select((did % 53).alias("src"), ((did * 2 + 1) % 53).alias("dst"))
     e2 = d.select((did % 53).alias("src"), ((did * 5 + 3) % 53).alias("dst"))
     edges = e1.unionAll(e2).distinct().filter(F.col("src") % 11 != 0)
-    pr = pagerank(edges, n_iter=5)
+    # checkpoint_interval=5: all five steps ride ONE lazy lineage, one
+    # materialization — identical math (pagerank docstring), but the 53-host
+    # fixture's wall was ~85% job-scheduling overhead at interval=1
+    # (BENCH.md round-3 plan audit: 21 s → dominated by 5 eager jobs).
+    pr = pagerank(edges, n_iter=5, checkpoint_interval=5)
     return pr.select(F.col("node").alias("host_id"), F.round("rank", 6).alias("rank"))
 
 
