@@ -71,20 +71,31 @@ def main() -> None:
 
     s0 = read_steal()
     wall = timed_filter(spark, pages)
+    # flush the headline number immediately — the heavy-slice phase below
+    # reads a second multi-GB corpus and must not take this result with it
+    print(json.dumps({"partial": "flagship", "n_docs": n_docs,
+                      "flagship_wall_s": round(wall, 2)}), flush=True)
     # cascade on/off over the condemned-heavy slice: the generator's
-    # doc_id % 16 >= 8 selects the 8 anomalous buckets (id is the url tail)
-    heavy = (
-        pages.withColumn(
-            "_id", F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+    # doc_id % 16 >= 8 selects the 8 anomalous buckets (id is the url tail).
+    # Materialized to parquet, NOT .persist(): 5M full-page rows cached
+    # on-heap OOM a 8g local JVM — and re-reading parquet is the fair
+    # baseline anyway (both cascade settings pay the same scan).
+    heavy_path = Path(data).parent / f"flagship_{n_docs}_heavy"
+    if not heavy_path.exists():
+        (
+            pages.withColumn(
+                "_id", F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long")
+            )
+            .filter(F.col("_id") % 16 >= 8)
+            .drop("_id")
+            .write.parquet(str(heavy_path))
         )
-        .filter(F.col("_id") % 16 >= 8)
-        .drop("_id")
-        .persist()
-    )
+    heavy = spark.read.parquet(str(heavy_path))
     n_heavy = heavy.count()
     wall_plain = timed_filter(spark, heavy)
+    print(json.dumps({"partial": "heavy_plain", "heavy_n_docs": n_heavy,
+                      "heavy_wall_s": round(wall_plain, 2)}), flush=True)
     wall_casc = timed_filter(spark, heavy, cascade=True)
-    heavy.unpersist()
     steal_ticks = read_steal() - s0
 
     out = {
