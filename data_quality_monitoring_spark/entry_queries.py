@@ -524,6 +524,55 @@ FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
 """
 
 
+BLOOM_N_BITS = 1 << 16
+BLOOM_N_HASHES = 4
+
+
+def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (dedup.decontaminate_bloom) — the
+    100-TB form of q_decontamination: the eval side ships as a FIXED-SIZE
+    bit-array plan literal (n_bits/8 bytes however big the eval suite is)
+    and the corpus side tests membership with pure codegen shift/AND — no
+    join, no UDF beyond shingling.  Same doc_id < 10 eval set and 5-word
+    shingles as the exact variant; md5-prefix positions are portable, so
+    the oracle replays the filter bit-for-bit (superset-of-exact with
+    FPR ≈ (1−e^(−4n/65536))⁴ — determinism, not absence of false
+    positives, is the contract)."""
+    from .operators.dedup import decontaminate_bloom
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10)
+    return decontaminate_bloom(
+        d, bench, "doc_id", k=5, n_bits=BLOOM_N_BITS, n_hashes=BLOOM_N_HASHES
+    )
+
+
+_BLOOM_POS_SQL = (
+    f"('0x' || substr(md5(i::VARCHAR || s), 1, 8))::UBIGINT % {BLOOM_N_BITS}"
+)
+
+SQL_DECONTAMINATION_BLOOM = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_SQL.format(c="text")} AS words FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_SHINGLES5_SQL}) AS s FROM t
+), corp AS (
+  SELECT doc_id, s, {_BLOOM_POS_SQL} AS p
+  FROM sh, range({BLOOM_N_HASHES}) r(i)
+), bpos AS (
+  SELECT DISTINCT p FROM corp WHERE doc_id < 10
+), m AS (
+  SELECT c.doc_id, c.s, count(b.p) AS nset
+  FROM corp c LEFT JOIN bpos b USING (p)
+  GROUP BY c.doc_id, c.s
+), flags AS (
+  SELECT doc_id, count(*) AS n FROM m WHERE nset = {BLOOM_N_HASHES} GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(flags.n, 0)::BIGINT AS n_flagged
+FROM t LEFT JOIN flags ON t.doc_id = flags.doc_id
+"""
+
+
 LINE_BOILER = "all rights reserved subscribe to our newsletter today"
 LINE_DF_CAP = 50
 
@@ -3675,6 +3724,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "fuzzy_decontamination": q_fuzzy_decontamination,
     "decontamination": q_decontamination,
+    "decontamination_bloom": q_decontamination_bloom,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_ivf": q_ann_ivf,
     "centroid_similarity": q_centroid_similarity,
@@ -3733,6 +3783,7 @@ ORACLES = {
     "line_dedup": SQL_LINE_DEDUP,
     "normalize_unicode": SQL_NORMALIZE_UNICODE,
     "decontamination": SQL_DECONTAMINATION,
+    "decontamination_bloom": SQL_DECONTAMINATION_BLOOM,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "centroid_similarity": SQL_CENTROID_SIMILARITY,
     "token_stats": SQL_TOKEN_STATS,

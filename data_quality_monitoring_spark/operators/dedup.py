@@ -538,6 +538,85 @@ def decontaminate(
     )
 
 
+def _bloom_positions(shingle: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    """``n_hashes`` deterministic bit positions for one shingle: the first 8
+    hex chars of md5(salt‖shingle) as an integer, mod ``n_bits`` — the same
+    portable md5-prefix hash the minhash/stratified-sampling oracles use
+    (DuckDB: ``('0x' || substr(md5(i || s), 1, 8))::UBIGINT % n_bits``)."""
+    return [
+        F.conv(F.substring(F.md5(F.concat(F.lit(str(i)), shingle)), 1, 8), 16, 10)
+        .cast("long") % n_bits
+        for i in range(n_hashes)
+    ]
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    key: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 8,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """:func:`decontaminate` with the eval-side broadcast replaced by a
+    Bloom filter — the 100-TB form when the evaluation suite itself is big.
+
+    :func:`decontaminate` broadcasts the eval set's DISTINCT shingle
+    *strings*; for a large benchmark battery (every eval suite × k-gram
+    windows) that broadcast is gigabytes.  Here the eval shingles are
+    hashed into an ``n_bits``-bit Bloom filter (``n_hashes`` md5-prefix
+    hashes), so what ships to every task is a **fixed-size bit array —
+    ``n_bits``/8 bytes (128 KiB at the default) regardless of eval-set
+    size** — folded into the plan as an ``array<long>`` literal.  The
+    corpus side tests membership with pure codegen shift/AND expressions:
+    no join, no UDF, no corpus-side shuffle beyond the per-doc count.
+
+    Guarantees: NO false negatives (every truly shared shingle is
+    flagged); false-positive rate ≈ (1 − e^(−n_hashes·n/n_bits))^n_hashes
+    for n distinct eval shingles — callers treat ``n_flagged > 0`` as
+    "audit", exactly like the exact variant.  The two-pass shape
+    (distributed position dedup → ≤ n_bits-row bounded driver collect →
+    literal broadcast) keeps driver memory O(n_bits), independent of both
+    corpus and eval-set size."""
+    n_words = (n_bits + 63) // 64
+    bench_pos = (
+        benchmark.select(F.explode(shingle_column(F.col(bench_text_col), k)).alias("shingle"))
+        .select(F.explode(F.array(*_bloom_positions(F.col("shingle"), n_bits, n_hashes))).alias("p"))
+        .distinct()
+    )
+    words = [0] * n_words
+    for row in bench_pos.collect():  # bounded: <= n_bits rows by construction
+        p = int(row["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bits = F.lit(signed)
+
+    sh = docs.select(
+        F.col(key), F.explode(shingle_column(F.col(text_col), k)).alias("shingle")
+    ).withColumn("_bits", bits)
+    flag = None
+    for i, pos in enumerate(_bloom_positions(F.col("shingle"), n_bits, n_hashes)):
+        sh = sh.withColumn(f"_p{i}", pos)
+        # signed >> keeps bit (p & 63) intact for any two's-complement word
+        t = F.expr(
+            f"(shiftright(element_at(_bits, cast(_p{i} div 64 as int) + 1),"
+            f" cast(_p{i} % 64 as int)) & 1) = 1"
+        )
+        flag = t if flag is None else (flag & t)
+    hits = (
+        sh.withColumn("_hit", flag.cast("int"))
+        .groupBy(key)
+        .agg(F.sum("_hit").alias("n_flagged"))
+    )
+    return (
+        docs.select(key)
+        .join(hits, key, "left")
+        .withColumn("n_flagged", F.coalesce("n_flagged", F.lit(0)))
+    )
+
+
 def fuzzy_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -133,6 +133,42 @@ def test_decontaminate(spark):
     assert out[2] == 0
 
 
+def test_decontaminate_bloom_no_false_negatives_and_bounded_fpr(spark):
+    """The Bloom variant flags a SUPERSET of the exact variant's hits
+    (no false negatives by construction), clean docs stay ~clean at the
+    default sizing, and a tiny filter (n_bits=64) shows the documented
+    false-positive mode without ever dropping a true hit."""
+    bench_text = "the quick brown fox jumps over the lazy dog tonight again"
+    corpus = [
+        (1, "intro words then " + bench_text + " trailing words here"),
+        (2, "totally unrelated content about spark catalyst plans and arrow batches ok"),
+        (3, bench_text),
+    ] + [(10 + i, f"clean doc {i} " + " ".join(f"tok{i}w{j}" for j in range(30)))
+         for i in range(40)]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    bench = spark.createDataFrame([(99, bench_text)], ["doc_id", "text"])
+
+    exact = {r["doc_id"]: r["n_contaminated"]
+             for r in D.decontaminate(docs, bench, "doc_id", k=8).collect()}
+    bloom = {r["doc_id"]: r["n_flagged"]
+             for r in D.decontaminate_bloom(docs, bench, "doc_id", k=8).collect()}
+    # superset: every exact hit is flagged at least as often
+    assert all(bloom[d] >= n for d, n in exact.items())
+    assert bloom[1] > 0 and bloom[3] > 0
+    # 4 shingles x 4 hashes into 2^20 bits: clean docs stay at 0
+    assert bloom[2] == 0 and all(bloom[10 + i] == 0 for i in range(40))
+
+    # saturated filter: 16 positions into 64 bits -> false positives are
+    # EXPECTED on clean docs, true hits still never drop
+    tiny = {r["doc_id"]: r["n_flagged"]
+            for r in D.decontaminate_bloom(docs, bench, "doc_id", k=8, n_bits=64).collect()}
+    assert tiny[1] >= exact[1] and tiny[3] >= exact[3]
+    # determinism: same inputs, same bits
+    again = {r["doc_id"]: r["n_flagged"]
+             for r in D.decontaminate_bloom(docs, bench, "doc_id", k=8, n_bits=64).collect()}
+    assert tiny == again
+
+
 def test_lsh_bucket_cap_bounds_family(spark):
     """A 600-doc identical family floods every band bucket; max_bucket
     drops those groups (the family's canonical survives exact dedup
