@@ -211,10 +211,14 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(operators/dedup.decontaminate)",
     )
     p.add_argument(
-        "--decontaminate-mode", choices=["exact", "fuzzy"], default="exact",
+        "--decontaminate-mode", choices=["exact", "fuzzy", "bloom"],
+        default="exact",
         help="exact = shared distinct k-gram shingles (default); fuzzy = "
         "MinHash-LSH candidates + shingle-Jaccard verify — catches "
-        "paraphrased eval leakage (operators/dedup.fuzzy_decontaminate)",
+        "paraphrased eval leakage (operators/dedup.fuzzy_decontaminate); "
+        "bloom = same k-gram test through a fixed-size Bloom filter — the "
+        "scale form when the eval suite itself is too big to broadcast as "
+        "strings, no false negatives (operators/dedup.decontaminate_bloom)",
     )
     p.add_argument(
         "--decontaminate-threshold", type=float, default=0.5,
@@ -463,13 +467,22 @@ def _apply_decontaminate(spark: SparkSession, docs, args, stats: dict):
         .select(F.md5(F.col("text")).alias("_bid"), F.col("text"))
         .dropDuplicates(["_bid"])
     )
-    if getattr(args, "decontaminate_mode", "exact") == "fuzzy":
+    mode = getattr(args, "decontaminate_mode", "exact")
+    if mode == "fuzzy":
         from ..operators.dedup import fuzzy_decontaminate
 
         flagged = fuzzy_decontaminate(
             docs, bench, "url", "_bid", text_col="text_scrubbed",
             threshold=getattr(args, "decontaminate_threshold", 0.5),
         ).select("url").distinct()
+    elif mode == "bloom":
+        from ..operators.dedup import decontaminate_bloom
+
+        flagged = (
+            decontaminate_bloom(docs, bench, "url", text_col="text_scrubbed")
+            .filter(F.col("n_flagged") > 0)
+            .select("url")
+        )
     else:
         from ..operators.dedup import decontaminate
 

@@ -621,6 +621,15 @@ def test_corpus_mode_decontaminate_and_dsir(spark, tmp_path):
     ))
     assert stats2["decontaminated_docs_dropped"] >= 1
 
+    # bloom mode: no false negatives → drops AT LEAST the exact mode's docs
+    out_b = str(tmp_path / "out_bloom")
+    stats_b = run_corpus(spark, build_args(
+        ["--mode", "corpus", "--input", in_dir, "--output", out_b,
+         "--decontaminate", eval_dir, "--decontaminate-mode", "bloom"]
+    ))
+    assert stats_b["decontaminated_docs_dropped"] >= \
+        stats1["decontaminated_docs_dropped"]
+
     out3 = str(tmp_path / "out_dsir")
     stats3 = run_corpus(spark, build_args(
         ["--mode", "corpus", "--input", in_dir, "--output", out3,
