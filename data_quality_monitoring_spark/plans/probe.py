@@ -40,7 +40,14 @@ OBVIOUS_ANOMALIES = [
 
 def _holdout(docs: DataFrame, n: int, salt: str) -> DataFrame:
     """Deterministic bounded held-out slice: md5-ordered by (url, salt) so
-    reruns probe the same rows and the order is partitioning-invariant."""
+    reruns probe the same rows and the order is partitioning-invariant.
+
+    Train inputs may be bare ``(text, lang)`` corpora (the ml-train /
+    llm-train CLI accepts them); when ``url`` is absent a stable
+    text-derived id stands in so the ordering and the corruption
+    bucketing stay deterministic."""
+    if "url" not in docs.columns:
+        docs = docs.withColumn("url", F.concat(F.lit("text://"), F.md5("text")))
     return (
         docs.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
         .select("url", "text", "lang")

@@ -85,6 +85,21 @@ def test_probe_bigram_passes_healthy_fails_backwards(spark):
     assert not bad["ok"], bad
 
 
+def test_probe_accepts_urlless_corpus(spark):
+    """ml-train / llm-train accept bare (text, lang) corpora with no url
+    column; the probe must still work with a stable text-derived stand-in
+    id (deterministic holdout + corruption bucketing)."""
+    from data_quality_monitoring_spark.operators.langid import (
+        train_langid_distributed,
+    )
+
+    docs = generate_pages(spark, 600, partitions=4).select("text", "lang")
+    model = train_langid_distributed(docs)
+    report = probe_langid(spark, model, docs, n=160)
+    assert report["ok"], report
+    assert probe_langid(spark, model, docs, n=160) == report
+
+
 def test_train_modes_emit_probe_artifact(spark, tmp_path):
     """CLI e2e: ml-train and llm-train write train_probe.json next to the
     model artifacts, and the probe passes on the healthy corpus."""
