@@ -1977,6 +1977,55 @@ FROM t
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing: per-doc deterministic PCM16 WAV fixture →
+    REAL stdlib ``wave`` decode → integer-exact features via mapInPandas
+    (multimodal.extract_audio_features).
+
+    Fully ORACLED: the fixture waveform is pure integer arithmetic
+    (s_i = (a·i + b) mod 4001 − 2000 with n/a/b from doc_id), so DuckDB
+    regenerates every sample with generate_series and recomputes sum_sq /
+    zero_crossings / peak exactly; rms = sqrt(sum_sq/n) is a single IEEE
+    op over exact integers, bit-identical both sides.  The bytes decoded
+    are a real RIFF container (44-byte header + LE PCM frames), so the
+    decode under test is a real decode, not the md5-fake path."""
+    from .operators.multimodal import extract_audio_features, synth_wav_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_wav_bytes(int(i)))
+
+    d = _read(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), _synth("doc_id").alias("payload")
+    )
+    return extract_audio_features(media).select(
+        "media_id", "n_bytes", "sample_rate", "channels", "n_samples",
+        "peak", "sum_sq", "zero_crossings", F.round("rms", 6).alias("rms"),
+    )
+
+
+SQL_AUDIO_FEATURES = """
+WITH p AS (
+  SELECT doc_id, 240 + (doc_id % 97) * 7 AS n,
+         3 + doc_id % 11 AS a, doc_id % 251 AS b
+  FROM documents
+), s AS (
+  SELECT doc_id, n, i, ((a * i + b) % 4001) - 2000 AS v,
+         lag(((a * i + b) % 4001) - 2000) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g
+)
+SELECT doc_id AS media_id,
+       (44 + 2 * n)::INT AS n_bytes,
+       8000 AS sample_rate, 1 AS channels, n::BIGINT AS n_samples,
+       max(abs(v))::INT AS peak,
+       sum(v * v)::BIGINT AS sum_sq,
+       coalesce(sum(CASE WHEN pv * v < 0 THEN 1 END), 0)::BIGINT AS zero_crossings,
+       round(sqrt(sum(v * v)::DOUBLE / n), 6) AS rms
+FROM s GROUP BY doc_id, n
+"""
+
+
 # ---------------------------------------------------------------- multi-field catalog
 
 def q_multifield_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3713,6 +3762,7 @@ QUERIES = {
     "perplexity_trigram": q_perplexity_trigram,
     "perplexity_buckets": q_perplexity_buckets,
     "llm_tier_verdict": q_llm_tier_verdict,  # optional LLM tiers (round 4)
+    "audio_features": q_audio_features,  # real stdlib WAV decode (round 4)
     "dsir_sample": q_dsir_sample,
     "host_pagerank": q_host_pagerank,
     "host_quality": q_host_quality,
@@ -3835,6 +3885,7 @@ ORACLES = {
     "quality_model_scores": SQL_QUALITY_MODEL_SCORES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "audio_features": SQL_AUDIO_FEATURES,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "ann_ivf": SQL_ANN_IVF,
     "multifield_cells": SQL_MULTIFIELD_CELLS,

@@ -3,8 +3,9 @@
 A training-data pipeline carries media as ``binary`` payloads plus typed
 metadata; the Spark-side mechanics — schema, Arrow batch shape, partition
 sizing, per-executor decoder reuse — are identical whatever the codec.  This
-module makes that plumbing real and tested while STUBBING the actual codec
-work (no image/audio libraries in this container):
+module makes that plumbing real and tested with REAL stdlib codecs where
+the format allows (PNG via struct+zlib, WAV via ``wave``) and honest
+stubs elsewhere (no image/audio libraries in this container):
 
 * ``decode_image`` raises ``NotImplementedError`` unless
   ``deterministic_fake=True``, in which case it derives (width, height,
@@ -233,6 +234,103 @@ def extract_image_metadata(media: DataFrame, deterministic_fake: bool = False) -
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_wav_bytes(payload: bytes) -> dict:
+    """Real stdlib WAV decode (``wave`` + numpy): PCM16 RIFF payloads —
+    the audio analogue of the stdlib PNG path (no audio library needed,
+    WAV is just a 44-byte header over little-endian PCM frames).
+
+    Feature set is chosen to be *exactly* reproducible by a relational
+    oracle: ``sum_sq`` (Σ s²) and ``zero_crossings`` are integer-exact,
+    ``peak`` is max|s|, and ``rms = sqrt(sum_sq / n)`` is one IEEE
+    division + sqrt over exact integers — no float accumulation order to
+    disagree about.  Non-PCM16 payloads raise NotImplementedError
+    (honestly, like the image path) — callers running over a crawl wrap
+    this in a NULL-row guard."""
+    import io
+    import math
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV")
+        sr, ch, n = w.getframerate(), w.getnchannels(), w.getnframes()
+        raw = w.readframes(n)
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    n_s = len(samples)
+    sum_sq = int((samples * samples).sum())
+    return {
+        "sample_rate": sr,
+        "channels": ch,
+        "n_samples": n_s,
+        "peak": int(np.abs(samples).max()) if n_s else 0,
+        "sum_sq": sum_sq,
+        "zero_crossings": int(((samples[:-1] * samples[1:]) < 0).sum()) if n_s > 1 else 0,
+        "rms": math.sqrt(sum_sq / n_s) if n_s else 0.0,
+    }
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """media table → per-clip audio features via mapInPandas (same Arrow
+    batch shape as the image path).  Undecodable / NULL payloads yield a
+    NULL-feature row — a corrupt clip must never kill a partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nulls = {k.name: None for k in AUDIO_FEATURES_SCHEMA if k.name != "media_id"}
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {"media_id": mid, **nulls}
+                if payload is not None:
+                    payload = bytes(payload)
+                    try:
+                        row.update(decode_wav_bytes(payload), n_bytes=len(payload))
+                    except Exception:
+                        pass
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def synth_wav_bytes(seed: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic PCM16 mono WAV fixture: integer sawtooth-ish waveform
+    ``s_i = ((a·i + b) mod 4001) − 2000`` with (n, a, b) derived from the
+    seed by pure integer arithmetic — every decoded feature is therefore
+    re-computable in ANSI SQL (the trick that oracles the fake image
+    decode), while the bytes themselves are REAL RIFF/WAV written by the
+    stdlib ``wave`` module, so the decode under test is a real decode."""
+    import io
+    import wave
+
+    n = 240 + (seed % 97) * 7
+    a = 3 + seed % 11
+    b = seed % 251
+    idx = np.arange(n, dtype=np.int64)
+    samples = ((a * idx + b) % 4001 - 2000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
 
 
 def frame_sample_plan(media: DataFrame, every_n_seconds: int = 5) -> DataFrame:

@@ -274,3 +274,61 @@ def test_tfidf_top_terms(spark):
     # determinism under repartition
     out2 = tfidf_top_terms(d.repartition(7), "doc_id", k=2).toPandas()
     assert sorted(map(tuple, out.values.tolist())) == sorted(map(tuple, out2.values.tolist()))
+
+
+def test_decode_wav_known_samples():
+    """Hand-built PCM16 WAV with known samples decodes to exact features."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from data_quality_monitoring_spark.operators.multimodal import decode_wav_bytes
+
+    samples = np.array([0, 100, -200, 300, 0, -1], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    meta = decode_wav_bytes(buf.getvalue())
+    assert meta["sample_rate"] == 16000
+    assert meta["channels"] == 1
+    assert meta["n_samples"] == 6
+    assert meta["peak"] == 300
+    assert meta["sum_sq"] == 100**2 + 200**2 + 300**2 + 1
+    # sign flips: 100->-200, -200->300 (zeros break the runs elsewhere)
+    assert meta["zero_crossings"] == 2
+    assert meta["rms"] == (meta["sum_sq"] / 6) ** 0.5
+    # stereo payloads decode too (features over the interleaved stream)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    assert decode_wav_bytes(buf.getvalue())["channels"] == 2
+
+
+def test_extract_audio_features_guards_corrupt(spark):
+    """Real synth WAV decodes distributed; corrupt/NULL rows yield NULL
+    features instead of killing the partition."""
+    from data_quality_monitoring_spark.operators.multimodal import (
+        decode_wav_bytes,
+        extract_audio_features,
+        synth_wav_bytes,
+    )
+
+    wav = synth_wav_bytes(7)
+    media = spark.createDataFrame(
+        [(7, wav), (8, b"RIFFgarbage"), (9, None)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    local = decode_wav_bytes(wav)
+    assert out[7]["n_bytes"] == len(wav) == 44 + 2 * local["n_samples"]
+    for k in ("sample_rate", "channels", "n_samples", "peak", "sum_sq",
+              "zero_crossings", "rms"):
+        assert out[7][k] == local[k], k
+    assert out[8]["sum_sq"] is None and out[9]["sum_sq"] is None
