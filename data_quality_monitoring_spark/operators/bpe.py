@@ -10,7 +10,10 @@ module supplies that tier without shipping a third-party tokenizer:
   pair (ties broken lexicographically, so training is fully deterministic).
   The artifact is the resulting *piece inventory* (single characters +
   merge products), frozen from the seeded clean corpus like every other
-  artifact (`artifacts.get_bpe_pieces`).
+  artifact (`artifacts.get_bpe_pieces`).  `train_bpe_distributed` is the
+  corpus-scale form: ONE distributed word count cut to a bounded
+  top-`max_words` before the driver sees anything, then the identical
+  merge loop — BPE only ever needs the frequency table, never the corpus.
 * **Inference** (`bpe_token_count`) is greedy longest-match-first over the
   piece inventory — WordPiece-style, the standard deterministic inference
   for a fixed subword vocab (BERT does exactly this).  Greedy matching is
@@ -52,6 +55,13 @@ def train_bpe_pieces(texts: list[str], n_merges: int = 200) -> list[str]:
     wf: Counter = Counter()
     for t in texts:
         wf.update(_words(t))
+    return _merge_loop(wf, n_merges)
+
+
+def _merge_loop(wf: dict, n_merges: int) -> list[str]:
+    """The BPE merge loop over a word-frequency table — deterministic
+    (ties broken lexicographically) and independent of dict order, so the
+    local and distributed trainers share it bit-for-bit."""
     seqs = {w: list(w) for w in wf}
     pieces = {c for w in wf for c in w}
     for _ in range(n_merges):
@@ -77,6 +87,44 @@ def train_bpe_pieces(texts: list[str], n_merges: int = 200) -> list[str]:
                     i += 1
             seqs[w] = out
     return sorted(pieces, key=lambda p: (-len(p), p))
+
+
+def train_bpe_distributed(
+    docs,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_words: int = 100_000,
+    min_count: int = 1,
+) -> list[str]:
+    """Distributed BPE training: the 100-TB form of :func:`train_bpe_pieces`.
+
+    BPE trains over the word-FREQUENCY table, not the corpus — so the only
+    distributed work is one word count (map-side-combined groupBy), cut to
+    a BOUNDED top-``max_words`` by (count desc, word asc) via TakeOrdered
+    before anything reaches the driver (the same bounded-collect discipline
+    as the LM trainers; a crawl's distinct-word table is 10⁸+ rows, the
+    merge loop needs only the frequent head — rare tails can't win a merge
+    anyway).  ``min_count`` floors the count before the cut, the same
+    hygiene knob as ``train_bigram_distributed``.  Word extraction runs
+    through the SAME ``_words`` kernel as the local trainer (one Arrow
+    pass), so when ``max_words`` covers the corpus vocabulary the two
+    trainers are bit-identical (tested).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _w(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _words(t) if isinstance(t, str) else [])
+
+    wf_rows = (
+        docs.select(F.explode(_w(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= F.lit(min_count))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(max_words)
+        .collect()
+    )
+    return _merge_loop({r["word"]: int(r["n"]) for r in wf_rows}, n_merges)
 
 
 def greedy_piece_count(word: str, piece_set: set[str], max_len: int) -> int:

@@ -146,6 +146,39 @@ def test_bpe_frozen_artifact_deterministic():
     assert tuple(train_bpe_pieces(texts, n_merges=200)) == get_bpe_pieces()
 
 
+def test_bpe_distributed_training_matches_local(spark):
+    """The distributed trainer is bit-identical to the local one when
+    max_words covers the vocabulary (same _words kernel, same merge loop),
+    stays identical under repartition, and the min_count floor drops
+    singleton words from the frequency table before the merge loop."""
+    from data_quality_monitoring_spark.artifacts import LANGS, training_texts
+    from data_quality_monitoring_spark.operators.bpe import (
+        _words,
+        train_bpe_distributed,
+        train_bpe_pieces,
+    )
+
+    texts = [t for lang in LANGS for t in training_texts(lang, 30)]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    local = train_bpe_pieces(texts, n_merges=60)
+    assert train_bpe_distributed(docs, n_merges=60) == local
+    assert train_bpe_distributed(docs.repartition(7), n_merges=60) == local
+
+    # min_count floor reproduces a locally-floored frequency table
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in _words(t))
+    from data_quality_monitoring_spark.operators.bpe import _merge_loop
+
+    floored = _merge_loop({w: n for w, n in wf.items() if n >= 3}, 60)
+    assert train_bpe_distributed(docs, n_merges=60, min_count=3) == floored
+
+    # max_words keeps the driver collect bounded: the cut is the top of
+    # the (count desc, word asc) order, same as cutting the local table
+    top = dict(sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:40])
+    assert train_bpe_distributed(docs, n_merges=60, max_words=40) == _merge_loop(top, 60)
+
+
 def test_shuffle_shards_deterministic_and_partition_invariant(spark):
     """(shard, shard_pos) is a pure function of (key, seed): identical
     across input partitionings, different under a different seed."""
