@@ -68,6 +68,9 @@ HEADLINE = [
     "events_sessionize",
     "tpch_q1",
     "revenue_by_nation",
+    "llm_tier_verdict",  # optional LLM tiers: dynamic/prototype/ICL (round 4)
+    "decontamination_bloom",  # fixed-size eval broadcast (round 4)
+    "audio_features",  # real stdlib WAV decode via mapInPandas (round 4)
 ]
 
 
