@@ -83,6 +83,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             failures += 1
         else:
             print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+    spark.stop()  # full-battery runs otherwise linger minutes in JVM shutdown
     return failures
 
 
