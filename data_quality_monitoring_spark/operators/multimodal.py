@@ -299,8 +299,9 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 row = {"media_id": mid, **nulls}
                 if payload is not None:
                     payload = bytes(payload)
+                    row["n_bytes"] = len(payload)  # known even when undecodable
                     try:
-                        row.update(decode_wav_bytes(payload), n_bytes=len(payload))
+                        row.update(decode_wav_bytes(payload))
                     except Exception:
                         pass
                 rows.append(row)

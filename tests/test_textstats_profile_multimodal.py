@@ -332,3 +332,6 @@ def test_extract_audio_features_guards_corrupt(spark):
               "zero_crossings", "rms"):
         assert out[7][k] == local[k], k
     assert out[8]["sum_sq"] is None and out[9]["sum_sq"] is None
+    # a corrupt payload still reports its byte length (decode-failure
+    # telemetry); a NULL payload reports nothing
+    assert out[8]["n_bytes"] == len(b"RIFFgarbage") and out[9]["n_bytes"] is None
