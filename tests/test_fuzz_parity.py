@@ -388,3 +388,41 @@ def test_mixture_sample_matches_python_greedy_fuzz(spark, docs, budget):
             want[did] = quota is not None and cum < quota
             cum += tok
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+    st.sampled_from([1, 2]),
+)
+def test_wav_codec_roundtrip_fuzz(samples, sr, ch):
+    """WAV decode inverts the stdlib encode for arbitrary PCM16 streams:
+    header fields and every integer-exact feature match a straight numpy
+    computation over the original samples (local-only — the distributed
+    path is the same function via mapInPandas, covered elsewhere)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from data_quality_monitoring_spark.operators.multimodal import decode_wav_bytes
+
+    arr = np.array(samples, dtype="<i2")
+    if ch == 2 and len(arr) % 2:
+        arr = arr[:-1]  # whole frames only
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(arr.tobytes())
+    meta = decode_wav_bytes(buf.getvalue())
+    a = arr.astype(np.int64)
+    assert meta["sample_rate"] == sr and meta["channels"] == ch
+    assert meta["n_samples"] == len(a)
+    assert meta["sum_sq"] == int((a * a).sum())
+    assert meta["peak"] == (int(np.abs(a).max()) if len(a) else 0)
+    assert meta["zero_crossings"] == (int(((a[:-1] * a[1:]) < 0).sum()) if len(a) > 1 else 0)
+    want_rms = (meta["sum_sq"] / len(a)) ** 0.5 if len(a) else 0.0
+    assert meta["rms"] == want_rms
