@@ -121,12 +121,13 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(run_query(spark, name, sf_dir), 3)
     # the flagship sets the headline docs/s: re-measure it at the END of
-    # the battery too and keep the min — a shared-bus burst localized at
-    # the start of the run (measured 3.6x inflation on this host) can't
-    # wreck the one number cross-round comparisons hang on
-    timings["pipeline_verdict"] = min(
-        timings["pipeline_verdict"], round(run_query(spark, "pipeline_verdict", sf_dir), 3)
-    )
+    # the battery too — a shared-bus burst localized at the start of the
+    # run (measured 3.6x inflation on this host) can't wreck the one
+    # number cross-round comparisons hang on.  Both placements are
+    # reported raw; queries["pipeline_verdict"] stays protocol-consistent
+    # (min-of-3 at battery start) so per-query cross-round deltas compare
+    # like with like, and docs/s takes the min of the two placements.
+    flagship_end = round(run_query(spark, "pipeline_verdict", sf_dir), 3)
     steal1, total1 = _steal_ticks()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
@@ -135,7 +136,7 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    docs_per_sec = round(n_docs / timings["pipeline_verdict"], 1)
+    docs_per_sec = round(n_docs / min(timings["pipeline_verdict"], flagship_end), 1)
     print(
         json.dumps(
             {
@@ -147,6 +148,8 @@ def main() -> None:
                 "cpus": cpus,
                 "n_docs": n_docs,
                 "pipeline_docs_per_sec": docs_per_sec,
+                "pipeline_verdict_end_sec": flagship_end,
+                "flagship_runs": 6,
                 "runs_per_query": 3,
                 "steal_pct": steal_pct,
             }

@@ -184,8 +184,12 @@ def dsir_scores(
     cr = feats(docs).groupBy("_b").agg(F.count("*").alias("_cr")).persist()
     tot_t = ct.agg(F.sum("_ct").alias("_nt"))  # 1 row, from the 4096-row table
     tot_r = cr.agg(F.sum("_cr").alias("_nr"))
+    # LEFT join from the raw side, target side broadcast: a full outer
+    # here would fall back to sort-merge (BHJ can't do full outer), and
+    # target-only buckets are dead rows anyway — every bucket a document
+    # can score appears in cr by construction (see docstring)
     ratio = (
-        ct.join(cr, "_b", "full")
+        cr.join(F.broadcast(ct), "_b", "left")
         .crossJoin(F.broadcast(tot_t))
         .crossJoin(F.broadcast(tot_r))
         .select(

@@ -47,7 +47,13 @@ def _holdout(docs: DataFrame, n: int, salt: str) -> DataFrame:
     text-derived id stands in so the ordering and the corruption
     bucketing stay deterministic."""
     if "url" not in docs.columns:
-        docs = docs.withColumn("url", F.concat(F.lit("text://"), F.md5("text")))
+        # lang joins the key: duplicate texts under two langs would
+        # otherwise tie on the ordering key and make the n-row cut
+        # partition-traversal-dependent
+        docs = docs.withColumn(
+            "url",
+            F.concat(F.lit("text://"), F.md5(F.concat_ws("|", "text", "lang"))),
+        )
     return (
         docs.filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
         .select("url", "text", "lang")
