@@ -9,8 +9,10 @@ the checkpoint location.
 The transformation is the *same* ``quality_filter`` expression tree — every
 operator in this engine is a stateless per-row projection, so it is
 streaming-safe with no watermark needed.  The rolling per-rule fire-count
-metric uses a processing-window groupBy on ``warc_ts``, which does need the
-watermark shown here.
+metric groups by an EVENT-TIME window on ``warc_ts`` (the WARC capture
+timestamp): late-captured pages land in their historical window until the
+watermark closes it, which is why that aggregation needs the watermark
+shown here.
 """
 
 from __future__ import annotations
@@ -59,11 +61,22 @@ def start_filter(
     return writer.trigger(**trigger).start()
 
 
-def deduped_stream(spark: SparkSession, pages_stream: DataFrame) -> DataFrame:
-    """Streaming exact dedup by url: native ``dropDuplicates`` with a
-    watermark bounds the dedup state — the streaming twin of
-    operators/dedup.exact_dedup."""
-    return pages_stream.withWatermark("warc_ts", "1 hour").dropDuplicates(["url"])
+def deduped_stream(pages_stream: DataFrame) -> DataFrame:
+    """Streaming url-keyed dedup — the streaming twin of
+    operators/urls.canonical_dedup's keep-one-per-url step.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``): with
+    a url-only key, plain dropDuplicates never evicts state — Spark only
+    ages dedup state out when the event-time column is PART of the key —
+    so a continuous crawl ingest would grow one state entry per distinct
+    url forever.  The WithinWatermark form is built for exactly this
+    key-without-event-time case: state for a url is dropped once the
+    watermark passes its arrival, bounding state to one hour of distinct
+    urls while still deduplicating any duplicate that arrives within the
+    watermark."""
+    return pages_stream.withWatermark("warc_ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["url"]
+    )
 
 
 def stateful_host_stats(spark: SparkSession, pages_stream: DataFrame) -> DataFrame:
@@ -72,8 +85,10 @@ def stateful_host_stats(spark: SparkSession, pages_stream: DataFrame) -> DataFra
     'custom stateful operators' slot of the brief)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from ..operators.urls import url_host
+
     res = quality_filter(spark, pages_stream).select(
-        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        url_host(F.col("url")).alias("host"),
         F.col("keep"),
     )
 
@@ -99,15 +114,14 @@ def stateful_host_stats(spark: SparkSession, pages_stream: DataFrame) -> DataFra
 def windowed_fire_counts(
     spark: SparkSession, pages_stream: DataFrame, window: str = "1 hour"
 ) -> DataFrame:
-    """Per-window per-code fire counts with a watermark for late pages —
-    the streaming filter-metrics table."""
+    """Per-event-time-window fire counts with a watermark for late pages —
+    the streaming filter-metrics table.  The aggregation itself is the
+    batch ``metrics.rule_fire_counts`` with the window as an extra group
+    key, so the streaming and batch metrics tables cannot drift."""
+    from ..operators.metrics import rule_fire_counts
+
     res = quality_filter(spark, pages_stream)
-    return (
-        res.withWatermark("warc_ts", "2 hours")
-        .groupBy(
-            F.window("warc_ts", window).alias("w"),
-            F.coalesce(F.col("verdict.code"), F.lit("PASS")).alias("code"),
-        )
-        .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("window_start"), "code", "n")
-    )
+    return rule_fire_counts(
+        res.withWatermark("warc_ts", "2 hours"),
+        group_cols=(F.window("warc_ts", window).alias("w"),),
+    ).select(F.col("w.start").alias("window_start"), "method", "code", "n")

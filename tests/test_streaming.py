@@ -69,7 +69,7 @@ def test_streaming_dedup(spark, tmp_path):
     pages = generate_pages(spark, 160, partitions=2)
     # duplicate every page once
     pages.unionAll(pages).write.parquet(in_dir)
-    out = deduped_stream(spark, read_page_stream(spark, in_dir))
+    out = deduped_stream(read_page_stream(spark, in_dir))
     q = (
         out.writeStream.format("memory")
         .queryName("dedup_t")
@@ -106,9 +106,11 @@ def test_stateful_host_stats(spark, tmp_path):
     upd = spark.sql("select * from hosts_t").toPandas()
     # last update per host must equal the batch ground truth
     final = upd.groupby("host").agg({"n_pages": "max", "n_dropped": "max"})
+    from data_quality_monitoring_spark.operators.urls import url_host
+
     truth = (
         quality_filter(spark, spark.read.parquet(in_dir))
-        .groupBy(F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"))
+        .groupBy(url_host(F.col("url")).alias("host"))
         .agg(F.count("*").alias("n_pages"), F.sum((~F.col("keep")).cast("long")).alias("n_dropped"))
         .toPandas()
         .set_index("host")
@@ -116,6 +118,48 @@ def test_stateful_host_stats(spark, tmp_path):
     joined = final.join(truth, lsuffix="_s", rsuffix="_t")
     assert (joined["n_pages_s"] == joined["n_pages_t"]).all()
     assert (joined["n_dropped_s"] == joined["n_dropped_t"]).all()
+
+
+def test_windowed_fire_counts_matches_batch(spark, tmp_path):
+    """The streaming filter-metrics table equals the batch
+    rule_fire_counts over the same pages, per event-time window."""
+    from data_quality_monitoring_spark.operators.metrics import rule_fire_counts
+    from data_quality_monitoring_spark.streaming.stream_filter import (
+        read_page_stream,
+        windowed_fire_counts,
+    )
+
+    in_dir = str(tmp_path / "in")
+    generate_pages(spark, 320, partitions=2).write.parquet(in_dir)
+    # update mode: append would only emit windows the watermark has
+    # CLOSED, and the last windows of a finite drain never close.  The
+    # two input files fit one microbatch (maxFilesPerTrigger=16), so the
+    # single update per key is the final count.
+    out = windowed_fire_counts(spark, read_page_stream(spark, in_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fires_t")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.sql("select * from fires_t").toPandas()
+        .sort_values(["window_start", "method", "code"]).reset_index(drop=True)
+    )
+    truth = (
+        rule_fire_counts(
+            quality_filter(spark, spark.read.parquet(in_dir)),
+            group_cols=(F.window("warc_ts", "1 hour").alias("w"),),
+        )
+        .select(F.col("w.start").alias("window_start"), "method", "code", "n")
+        .toPandas()
+        .sort_values(["window_start", "method", "code"]).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got.equals(truth)
 
 
 def test_stream_extracts_from_raw_html(spark, tmp_path):
