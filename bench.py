@@ -71,6 +71,7 @@ HEADLINE = [
     "llm_tier_verdict",  # optional LLM tiers: dynamic/prototype/ICL (round 4)
     "decontamination_bloom",  # fixed-size eval broadcast (round 4)
     "audio_features",  # real stdlib WAV decode via mapInPandas (round 4)
+    "gopher_rules",  # Gopher hard-rule gate, pure codegen (round 4)
 ]
 
 

@@ -1000,6 +1000,100 @@ FROM t LEFT JOIN ws ON t.doc_id = ws.doc_id LEFT JOIN bs ON t.doc_id = bs.doc_id
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher hard-rule document gate (Rae et al. 2021 Appendix A — the
+    MassiveWeb filter list behind RefinedWeb/Dolma/FineWeb): per-document
+    word count, mean word length, symbol-to-word ratio, bullet/ellipsis
+    line fractions, duplicate-line fraction, alpha-word fraction, stop-word
+    hits, and the paper-threshold keep verdict.
+
+    Pure Column expressions (``textstats.gopher_signals``) — scan-local,
+    zero shuffles, no Python; the oracle recomputes every signal with
+    DuckDB list lambdas and the identical int/int IEEE divisions.
+
+    Contract-scale parameter: ``min_stop_hits=1`` (paper default 2) —
+    the synthetic vocabulary contains exactly one Gopher stop word
+    ("the"), so the paper threshold would make ``keep`` vacuously false
+    here; at 1 the verdict splits the corpus and every conjunct is live."""
+    from .operators.textstats import gopher_keep, gopher_signals
+
+    d = _read(spark, sf_dir, "documents")
+    sig = gopher_signals(F.col("text"))
+    return d.select(
+        "doc_id",
+        sig["n_words"].cast("long").alias("n_words"),
+        sig["mean_word_len"].alias("mean_word_len"),
+        sig["symbol_word_ratio"].alias("symbol_word_ratio"),
+        sig["bullet_line_frac"].alias("bullet_line_frac"),
+        sig["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+        sig["dup_line_frac"].alias("dup_line_frac"),
+        sig["alpha_word_frac"].alias("alpha_word_frac"),
+        sig["stop_hits"].cast("long").alias("stop_hits"),
+        gopher_keep(sig, min_stop_hits=1).alias("keep"),
+    )
+
+
+# the word split mirrors textstats.words exactly: strip the _WS class at the
+# ends, split on runs of it, never emit empty tokens (the list_filter covers
+# texts with non-space whitespace at the ends, where DuckDB's space-only
+# trim() would otherwise leave an empty first/last element)
+_GOPHER_WORDS_SQL = (
+    f"list_filter(regexp_split_to_array(coalesce(text, ''), '{_WS_SQL}+'),"
+    " w -> w <> '')"
+)
+
+SQL_GOPHER_RULES = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         {_GOPHER_WORDS_SQL} AS words,
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     l -> trim(l) <> '') AS lines
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         CASE WHEN len(words) > 0
+              THEN list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                   / len(words) END AS mean_word_len,
+         CASE WHEN len(words) > 0
+              THEN len(regexp_extract_all(text, '(#|\\.\\.\\.|…)', 1))::DOUBLE
+                   / len(words) END AS symbol_word_ratio,
+         CASE WHEN len(lines) > 0
+              THEN len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '^[•‣▪*-]')))::DOUBLE
+                   / len(lines) END AS bullet_line_frac,
+         CASE WHEN len(lines) > 0
+              THEN len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))::DOUBLE
+                   / len(lines) END AS ellipsis_line_frac,
+         CASE WHEN len(lines) > 0
+              THEN (len(lines) - len(list_distinct(lines)))::DOUBLE
+                   / len(lines) END AS dup_line_frac,
+         CASE WHEN len(words) > 0
+              THEN len(list_filter(words,
+                       w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                   / len(words) END AS alpha_word_frac,
+         len(list_intersect(
+             list_distinct(list_transform(words, w -> lower(w))),
+             ['the','be','to','of','and','that','have','with']))::BIGINT
+           AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, dup_line_frac, alpha_word_frac, stop_hits,
+       coalesce(
+         n_words BETWEEN 50 AND 100000
+         AND mean_word_len BETWEEN 3 AND 10
+         AND symbol_word_ratio <= 0.1
+         AND coalesce(bullet_line_frac <= 0.9, true)
+         AND coalesce(ellipsis_line_frac <= 0.3, true)
+         AND coalesce(dup_line_frac <= 0.3, true)
+         AND alpha_word_frac >= 0.8
+         AND stop_hits >= 1, false) AS keep
+FROM s
+"""
+
+
 def q_skew_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus stats via TWO-PHASE SALTED aggregation (the north
     rule's host/url-skew defuser, plans/pipeline.salted_group_count): phase
@@ -3763,6 +3857,7 @@ QUERIES = {
     "perplexity_buckets": q_perplexity_buckets,
     "llm_tier_verdict": q_llm_tier_verdict,  # optional LLM tiers (round 4)
     "audio_features": q_audio_features,  # real stdlib WAV decode (round 4)
+    "gopher_rules": q_gopher_rules,  # Gopher hard-rule gate (round 4)
     "dsir_sample": q_dsir_sample,
     "host_pagerank": q_host_pagerank,
     "host_quality": q_host_quality,
@@ -3838,6 +3933,7 @@ ORACLES = {
     "centroid_similarity": SQL_CENTROID_SIMILARITY,
     "token_stats": SQL_TOKEN_STATS,
     "repetition_stats": SQL_REPETITION_STATS,
+    "gopher_rules": SQL_GOPHER_RULES,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "sequence_packing_bpe": SQL_SEQUENCE_PACKING_BPE,

@@ -80,6 +80,93 @@ def quality_score(col: Column, stopwords: list[str] | None = None) -> Column:
     return F.when(col.isNotNull(), F.round(score, 6))
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(col: Column) -> dict[str, Column]:
+    """Per-document Gopher hard-rule quality signals (Rae et al. 2021,
+    *Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher*, Appendix A — the rule list MassiveWeb was filtered with, also
+    the basis of RefinedWeb/Dolma/FineWeb document gates).
+
+    All pure Column expressions over per-row arrays — scan-local, zero
+    shuffles, embarrassingly parallel at 10^12 docs.  Signals:
+
+    - ``n_words`` / ``mean_word_len`` — word count and mean word length
+    - ``symbol_word_ratio`` — (``#`` + ellipsis occurrences) / words
+    - ``bullet_line_frac`` / ``ellipsis_line_frac`` — of non-blank lines,
+      the fraction starting with a bullet glyph / ending with an ellipsis
+    - ``dup_line_frac`` — fraction of non-blank lines that repeat an
+      earlier line (the Gopher repetition family's line tier; the word /
+      n-gram tiers live in ``q_repetition_stats``)
+    - ``alpha_word_frac`` — fraction of words with ≥1 ``[A-Za-z]``
+    - ``stop_hits`` — DISTINCT Gopher stop words present (the "contains at
+      least two of the, be, to, of, and, that, have, with" rule)
+
+    Fractions are raw IEEE doubles (exact int/int division — identical in
+    any engine), null when the denominator is 0."""
+    text = F.coalesce(col, F.lit(""))
+    ws = words(text)
+    n_words = F.size(ws)
+    total_wl = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w))
+    n_symbols = F.size(F.regexp_extract_all(text, F.lit(r"(#|\.\.\.|…)"), F.lit(1)))
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[•‣▪*-]")))
+    n_ellipsis = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+    n_dup_lines = n_lines - F.size(F.array_distinct(lines))
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(ws, F.lower)),
+            F.lit(GOPHER_STOPWORDS).cast("array<string>"),
+        )
+    )
+    some_words = n_words > 0
+    some_lines = n_lines > 0
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.when(some_words, total_wl / n_words),
+        "symbol_word_ratio": F.when(some_words, n_symbols / n_words),
+        "bullet_line_frac": F.when(some_lines, n_bullet / n_lines),
+        "ellipsis_line_frac": F.when(some_lines, n_ellipsis / n_lines),
+        "dup_line_frac": F.when(some_lines, n_dup_lines / n_lines),
+        "alpha_word_frac": F.when(some_words, n_alpha / n_words),
+        "stop_hits": stop_hits,
+    }
+
+
+def gopher_keep(
+    sig: dict[str, Column],
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """Gopher keep/drop verdict from :func:`gopher_signals` (paper-default
+    thresholds).  Null-safe: a doc with no words fails the word-count gate
+    and the null ratio conjuncts collapse to false, never null."""
+    keep = (
+        (sig["n_words"] >= min_words)
+        & (sig["n_words"] <= max_words)
+        & sig["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (sig["symbol_word_ratio"] <= max_symbol_ratio)
+        & F.coalesce(sig["bullet_line_frac"] <= max_bullet_frac, F.lit(True))
+        & F.coalesce(sig["ellipsis_line_frac"] <= max_ellipsis_frac, F.lit(True))
+        & F.coalesce(sig["dup_line_frac"] <= max_dup_line_frac, F.lit(True))
+        & (sig["alpha_word_frac"] >= min_alpha_word_frac)
+        & (sig["stop_hits"] >= min_stop_hits)
+    )
+    return F.coalesce(keep, F.lit(False))
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: 64-bit hash of the case/whitespace-normalised
     text (the 'rolling hash' dedup key — xxhash64 is Spark-native,

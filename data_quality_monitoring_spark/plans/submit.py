@@ -120,6 +120,15 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "more with expensive scorers — plans/pipeline.quality_filter)",
     )
     p.add_argument(
+        "--gopher-gate",
+        action="store_true",
+        help="filter mode: AND the Gopher hard-rule document gate (Rae et "
+        "al. 2021 Appendix A — word count, mean word length, symbol ratio, "
+        "bullet/ellipsis/duplicate line fractions, alpha-word fraction, "
+        "stop-word hits; operators/textstats.gopher_signals) into keep; "
+        "scan-local Column expressions, zero extra shuffles",
+    )
+    p.add_argument(
         "--host-blocklist",
         help="filter/corpus/incremental modes: path to a host-stats output "
         "(parquet of host, n_pages, n_kept, keep_rate, blocked); pages on "
@@ -403,6 +412,16 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
             if c in res.columns
         ]
         res = res.select(*keep_cols)
+        if getattr(args, "gopher_gate", False) and "text_scrubbed" in res.columns:
+            from ..operators.textstats import gopher_keep, gopher_signals
+
+            # post-scrub text: PII masks perturb the word stats marginally
+            # but the gate sees exactly what ships to the corpus
+            res = res.withColumn(
+                "keep",
+                F.col("keep")
+                & gopher_keep(gopher_signals(F.col("text_scrubbed"))),
+            )
         if tier_cuts is not None:
             cuts_df = spark.createDataFrame(
                 [(r["_bl"], float(r["_c1"]), float(r["_c2"])) for r in tier_cuts],

@@ -692,3 +692,40 @@ def test_filter_llm_order_3(spark, tmp_path):
     j = d2.join(d3, "url").filter(F.col("p2").isNotNull())
     assert j.count() > 0
     assert j.filter(F.col("p2") != F.col("p3")).count() > 0
+
+
+def test_filter_mode_gopher_gate(spark, tmp_path):
+    """--gopher-gate: keep tightens to a subset of the ungated run (the
+    Gopher hard rules can only AND drops in) and the gated column agrees
+    with gopher_keep(gopher_signals) recomputed on the shipped text."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.operators.textstats import (
+        gopher_keep,
+        gopher_signals,
+    )
+
+    in_dir = str(tmp_path / "in")
+    generate_pages(spark, 120, partitions=4).write.parquet(in_dir)
+
+    plain = build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out_plain"),
+         "--n-buckets", "4", "--chunk-buckets", "4"]
+    )
+    run(spark, plain)
+    gated = build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out_gated"),
+         "--gopher-gate", "--n-buckets", "4", "--chunk-buckets", "4"]
+    )
+    run(spark, gated)
+
+    p = spark.read.parquet(str(tmp_path / "out_plain" / "data")).select(
+        "url", F.col("keep").alias("keep_plain")
+    )
+    g = spark.read.parquet(str(tmp_path / "out_gated" / "data"))
+    both = g.join(p, "url")
+    # gate only removes: keep_gated ⇒ keep_plain
+    assert both.filter(F.col("keep") & ~F.col("keep_plain")).count() == 0
+    # and equals keep_plain AND gopher_keep(text_scrubbed)
+    expect = F.col("keep_plain") & gopher_keep(gopher_signals(F.col("text_scrubbed")))
+    assert both.filter(F.col("keep") != expect).count() == 0

@@ -335,3 +335,52 @@ def test_extract_audio_features_guards_corrupt(spark):
     # a corrupt payload still reports its byte length (decode-failure
     # telemetry); a NULL payload reports nothing
     assert out[8]["n_bytes"] == len(b"RIFFgarbage") and out[9]["n_bytes"] is None
+
+
+def test_gopher_signals_line_rules(spark):
+    """The line-level Gopher rules (bullets, ellipses, duplicate lines) —
+    the contract corpus is single-line, so exercise them here."""
+    bullet_doc = "• one thing\n• another thing\n- dashed item\nplain line"
+    ellipsis_doc = "first line...\nsecond line…\nthird stays"
+    dup_doc = "same line\nsame line\nsame line\nfresh line"
+    df = spark.createDataFrame(
+        [(1, bullet_doc), (2, ellipsis_doc), (3, dup_doc), (4, None), (5, "")],
+        "id long, t string",
+    )
+    sig = X.gopher_signals(F.col("t"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[v.alias(k) for k, v in sig.items()],
+            X.gopher_keep(sig).alias("keep"),
+        ).collect()
+    }
+    assert abs(rows[1]["bullet_line_frac"] - 3 / 4) < 1e-12
+    assert abs(rows[2]["ellipsis_line_frac"] - 2 / 3) < 1e-12
+    assert abs(rows[3]["dup_line_frac"] - 2 / 4) < 1e-12
+    # null/empty text: 0 words, null ratios, keep must be False (never null)
+    for i in (4, 5):
+        assert rows[i]["n_words"] == 0 and rows[i]["mean_word_len"] is None
+        assert rows[i]["keep"] is False
+    assert rows[1]["keep"] is False  # fails word count at paper thresholds
+
+
+def test_gopher_keep_paper_thresholds(spark):
+    """A clean English-looking doc passes every paper-default gate; the
+    same doc drowned in symbols or stripped of stop words fails exactly
+    the targeted conjunct."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and that have with "
+        "be to of words continue here for quite a while longer now "
+    ) * 3  # 75 words, mean word length ~4, 8/8 stop words
+    symbolic = base + "### ### ### ### ### ### ### ### ### ###"
+    df = spark.createDataFrame([(1, base), (2, symbolic)], "id long, t string")
+    sig = X.gopher_signals(F.col("t"))
+    rows = {
+        r["id"]: r
+        for r in df.select("id", X.gopher_keep(sig).alias("keep"),
+                           *[v.alias(k) for k, v in sig.items()]).collect()
+    }
+    assert rows[1]["keep"] is True and rows[1]["stop_hits"] == 8
+    assert rows[2]["keep"] is False  # symbol_word_ratio 10/85 > 0.1
+    assert rows[2]["symbol_word_ratio"] > 0.1
