@@ -72,6 +72,7 @@ HEADLINE = [
     "decontamination_bloom",  # fixed-size eval broadcast (round 4)
     "audio_features",  # real stdlib WAV decode via mapInPandas (round 4)
     "gopher_rules",  # Gopher hard-rule gate, pure codegen (round 4)
+    "c4_clean",  # C4 line-level cleaner, pure codegen (round 4)
 ]
 
 

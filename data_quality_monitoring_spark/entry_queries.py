@@ -1033,6 +1033,69 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaner (Raffel et al. 2020 §2.2): per-line word-count
+    / javascript filters rebuild ``text_clean``; doc flags (curly brace,
+    lorem ipsum, dirty word) and the keep verdict ride along.
+
+    Contract-scale parameters (documented, same pattern as
+    ``gopher_rules``): the synthetic corpus is single-line with no
+    punctuation, so ``require_terminal_punct=False``,
+    ``min_words_per_line=50`` (median doc ≈56 words — splits the corpus)
+    and ``min_kept_lines=1``.  The paper-faithful defaults (5+ words,
+    terminal punctuation, 3+ lines) are pinned by pytest on multi-line
+    fixtures."""
+    from .operators.normalize import c4_keep, c4_line_signals
+
+    d = _read(spark, sf_dir, "documents")
+    sig = c4_line_signals(
+        F.col("text"), min_words_per_line=50, require_terminal_punct=False
+    )
+    return d.select(
+        "doc_id",
+        sig["n_lines"].cast("long").alias("n_lines"),
+        sig["n_kept_lines"].cast("long").alias("n_kept_lines"),
+        sig["text_clean"].alias("text_clean"),
+        sig["has_brace"].alias("has_brace"),
+        sig["has_lorem"].alias("has_lorem"),
+        sig["has_dirty"].alias("has_dirty"),
+        c4_keep(sig, min_kept_lines=1).alias("keep"),
+    )
+
+
+SQL_C4_CLEAN = """
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     l -> trim(l) <> '') AS lines
+  FROM documents
+), k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l ->
+           len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                           w -> w <> '')) >= 50
+           AND NOT regexp_matches(lower(l), '\\bjavascript\\b')) AS kept
+  FROM t
+)
+SELECT doc_id,
+       len(lines)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept_lines,
+       coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+       contains(text, '{') AS has_brace,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       regexp_matches(lower(text),
+                      '\\b(frakking|dagnabbit|blasted|gorram)\\b') AS has_dirty,
+       coalesce(
+         len(kept) >= 1
+         AND NOT contains(text, '{')
+         AND NOT contains(lower(text), 'lorem ipsum')
+         AND NOT regexp_matches(lower(text),
+                                '\\b(frakking|dagnabbit|blasted|gorram)\\b'),
+         false) AS keep
+FROM k
+"""
+
+
 # the word split mirrors textstats.words exactly: strip the _WS class at the
 # ends, split on runs of it, never emit empty tokens (the list_filter covers
 # texts with non-space whitespace at the ends, where DuckDB's space-only
@@ -3858,6 +3921,7 @@ QUERIES = {
     "llm_tier_verdict": q_llm_tier_verdict,  # optional LLM tiers (round 4)
     "audio_features": q_audio_features,  # real stdlib WAV decode (round 4)
     "gopher_rules": q_gopher_rules,  # Gopher hard-rule gate (round 4)
+    "c4_clean": q_c4_clean,  # C4 line-level cleaner (round 4)
     "dsir_sample": q_dsir_sample,
     "host_pagerank": q_host_pagerank,
     "host_quality": q_host_quality,
@@ -3934,6 +3998,7 @@ ORACLES = {
     "token_stats": SQL_TOKEN_STATS,
     "repetition_stats": SQL_REPETITION_STATS,
     "gopher_rules": SQL_GOPHER_RULES,
+    "c4_clean": SQL_C4_CLEAN,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "sequence_packing_bpe": SQL_SEQUENCE_PACKING_BPE,

@@ -44,3 +44,65 @@ def normalize_text(col: Column) -> Column:
 def normalize_sql(expr: str) -> str:
     """The identical normalization in DuckDB SQL (oracle side)."""
     return f"regexp_replace(nfc_normalize({expr}), '{CONTROL_CLASS}', '', 'g')"
+
+
+# ---------------------------------------------------------------- C4 cleaner
+
+C4_TERMINAL_PUNCT = r'[.!?"”]$'
+C4_DIRTY_DEFAULT = r"(?i)\b(?:frakking|dagnabbit|blasted|gorram)\b"
+
+
+def c4_line_signals(
+    col: Column,
+    *,
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+) -> dict[str, Column]:
+    """C4 line-level cleaning signals (Raffel et al. 2020 §2.2 — the
+    Colossal Clean Crawled Corpus heuristics, also the backbone of
+    FineWeb's "C4 filters" stage).
+
+    Per document: split into lines, keep a line iff it has
+    ``min_words_per_line``+ words, (optionally) ends in terminal
+    punctuation, and does not contain the word "javascript"; rebuild
+    ``text_clean`` from the kept lines.  Doc-level flags: a curly brace
+    anywhere, "lorem ipsum", a dirty word (the scrub chain's fictional
+    placeholder list stands in for the LDNOOBW list the paper uses).
+
+    Pure Column expressions — scan-local, zero shuffles, no Python."""
+    text = F.coalesce(col, F.lit(""))
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    word_ok = lambda ln: (  # noqa: E731
+        F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != ""))
+        >= min_words_per_line
+    )
+    punct_ok = (
+        (lambda ln: F.trim(ln).rlike(C4_TERMINAL_PUNCT))
+        if require_terminal_punct
+        else (lambda ln: F.lit(True))
+    )
+    js_free = lambda ln: ~F.lower(ln).rlike(r"\bjavascript\b")  # noqa: E731
+    kept = F.filter(lines, lambda ln: word_ok(ln) & punct_ok(ln) & js_free(ln))
+    low = F.lower(text)
+    return {
+        "n_lines": F.size(lines),
+        "n_kept_lines": F.size(kept),
+        "text_clean": F.array_join(kept, "\n"),
+        "has_brace": text.contains("{"),
+        "has_lorem": low.contains("lorem ipsum"),
+        "has_dirty": low.rlike(C4_DIRTY_DEFAULT),
+    }
+
+
+def c4_keep(sig: dict[str, Column], *, min_kept_lines: int = 3) -> Column:
+    """C4 document verdict from :func:`c4_line_signals`: at least
+    ``min_kept_lines`` surviving lines (the paper drops pages with fewer
+    than 3 sentences; lines are the unit the line filter already
+    established) and none of the doc-level flags."""
+    keep = (
+        (sig["n_kept_lines"] >= min_kept_lines)
+        & ~sig["has_brace"]
+        & ~sig["has_lorem"]
+        & ~sig["has_dirty"]
+    )
+    return F.coalesce(keep, F.lit(False))

@@ -129,6 +129,15 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "scan-local Column expressions, zero extra shuffles",
     )
     p.add_argument(
+        "--c4-clean",
+        action="store_true",
+        help="filter mode: apply the C4 line filter (Raffel et al. 2020 "
+        "§2.2 — drop short / unterminated / javascript lines, rebuild the "
+        "text, condemn brace/lorem-ipsum/dirty-word pages; "
+        "operators/normalize.c4_line_signals) to the shipped text and AND "
+        "the verdict into keep; scan-local, zero extra shuffles",
+    )
+    p.add_argument(
         "--host-blocklist",
         help="filter/corpus/incremental modes: path to a host-stats output "
         "(parquet of host, n_pages, n_kept, keep_rate, blocked); pages on "
@@ -412,6 +421,13 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
             if c in res.columns
         ]
         res = res.select(*keep_cols)
+        if getattr(args, "c4_clean", False) and "text_scrubbed" in res.columns:
+            from ..operators.normalize import c4_keep, c4_line_signals
+
+            c4 = c4_line_signals(F.col("text_scrubbed"))
+            res = res.withColumn(
+                "keep", F.col("keep") & c4_keep(c4)
+            ).withColumn("text_scrubbed", c4["text_clean"])
         if getattr(args, "gopher_gate", False) and "text_scrubbed" in res.columns:
             from ..operators.textstats import gopher_keep, gopher_signals
 

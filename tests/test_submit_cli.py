@@ -729,3 +729,41 @@ def test_filter_mode_gopher_gate(spark, tmp_path):
     # and equals keep_plain AND gopher_keep(text_scrubbed)
     expect = F.col("keep_plain") & gopher_keep(gopher_signals(F.col("text_scrubbed")))
     assert both.filter(F.col("keep") != expect).count() == 0
+
+
+def test_filter_mode_c4_clean(spark, tmp_path):
+    """--c4-clean: shipped text is rebuilt from surviving lines and keep
+    tightens by the C4 verdict recomputed on the pre-clean text."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.operators.normalize import (
+        c4_keep,
+        c4_line_signals,
+    )
+
+    in_dir = str(tmp_path / "in")
+    generate_pages(spark, 120, partitions=4).write.parquet(in_dir)
+
+    plain = build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out_plain"),
+         "--n-buckets", "4", "--chunk-buckets", "4"]
+    )
+    run(spark, plain)
+    gated = build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out_c4"),
+         "--c4-clean", "--n-buckets", "4", "--chunk-buckets", "4"]
+    )
+    run(spark, gated)
+
+    p = spark.read.parquet(str(tmp_path / "out_plain" / "data")).select(
+        "url",
+        F.col("keep").alias("keep_plain"),
+        F.col("text_scrubbed").alias("pre_clean"),
+    )
+    g = spark.read.parquet(str(tmp_path / "out_c4" / "data"))
+    both = g.join(p, "url")
+    assert both.filter(F.col("keep") & ~F.col("keep_plain")).count() == 0
+    sig = c4_line_signals(F.col("pre_clean"))
+    expect_keep = F.col("keep_plain") & c4_keep(sig)
+    assert both.filter(F.col("keep") != expect_keep).count() == 0
+    assert both.filter(F.col("text_scrubbed") != sig["text_clean"]).count() == 0

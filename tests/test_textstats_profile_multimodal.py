@@ -384,3 +384,45 @@ def test_gopher_keep_paper_thresholds(spark):
     assert rows[1]["keep"] is True and rows[1]["stop_hits"] == 8
     assert rows[2]["keep"] is False  # symbol_word_ratio 10/85 > 0.1
     assert rows[2]["symbol_word_ratio"] > 0.1
+
+
+def test_c4_line_filter_paper_defaults(spark):
+    """C4 cleaner at paper-faithful settings: short lines, unterminated
+    lines and javascript lines drop; doc flags (brace / lorem ipsum /
+    dirty word) condemn the page regardless of surviving lines."""
+    from data_quality_monitoring_spark.operators.normalize import (
+        c4_keep,
+        c4_line_signals,
+    )
+
+    good = (
+        "This is a perfectly reasonable first sentence of prose.\n"
+        "Here is another sentence that carries enough words to count.\n"
+        "And a third full sentence so the document survives the gate.\n"
+        "short one\n"                                  # <5 words → dropped
+        "Please enable javascript to view this page today.\n"  # js → dropped
+        "A line without terminal punctuation but plenty of words here"
+    )
+    braced = good + "\nfunction f() { return 1; }"
+    lorem = good + "\nLorem ipsum dolor sit amet, consectetur adipiscing elit."
+    dirty = good + "\nWhat a gorram mess this crawl turned out to be."
+    df = spark.createDataFrame(
+        [(1, good), (2, braced), (3, lorem), (4, dirty), (5, None)],
+        "id long, t string",
+    )
+    sig = c4_line_signals(F.col("t"))
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[v.alias(k) for k, v in sig.items()],
+            c4_keep(sig).alias("keep"),
+        ).collect()
+    }
+    assert rows[1]["n_lines"] == 6 and rows[1]["n_kept_lines"] == 3
+    assert rows[1]["keep"] is True
+    assert rows[1]["text_clean"].count("\n") == 2  # exactly the 3 kept lines
+    assert "javascript" not in rows[1]["text_clean"]
+    assert rows[2]["keep"] is False and rows[2]["has_brace"] is True
+    assert rows[3]["keep"] is False and rows[3]["has_lorem"] is True
+    assert rows[4]["keep"] is False and rows[4]["has_dirty"] is True
+    assert rows[5]["keep"] is False and rows[5]["text_clean"] == ""
