@@ -73,6 +73,7 @@ HEADLINE = [
     "audio_features",  # real stdlib WAV decode via mapInPandas (round 4)
     "gopher_rules",  # Gopher hard-rule gate, pure codegen (round 4)
     "c4_clean",  # C4 line-level cleaner, pure codegen (round 4)
+    "dedup_keep_best",  # quality-priority cluster retention (round 4)
 ]
 
 

@@ -712,6 +712,46 @@ FROM comp JOIN cs ON comp.cluster = cs.cluster
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority retention per duplicate cluster (NemoCurator /
+    FineWeb policy): same ≥0.5-Jaccard clusters as ``dedup_clusters``, but
+    the retained member is the argmax of a quality score (here ``n_chars``
+    — "keep the longest copy"; ties → min doc_id) instead of the min key.
+    One node-id join + one per-cluster window, both on the pair-graph nodes
+    only (operators/dedup.component_keep_best)."""
+    from .operators.dedup import component_keep_best, connected_components
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(d)
+    comp = connected_components(pairs, "da", "db")
+    best = component_keep_best(comp, d, "doc_id", "n_chars")
+    return best.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster"),
+        F.col("score").alias("n_chars"),
+        "is_retained",
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+edges AS (
+  SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs
+), lbl(node, label) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, l.label FROM edges e JOIN lbl l ON l.node = e.v
+), comp AS (
+  SELECT node, min(label) AS cluster FROM lbl GROUP BY node
+)
+SELECT comp.node AS doc_id, comp.cluster, d.n_chars,
+       (row_number() OVER (PARTITION BY comp.cluster
+                           ORDER BY d.n_chars DESC, comp.node ASC) = 1)
+         AS is_retained
+FROM comp JOIN documents d ON d.doc_id = comp.node
+"""
+
+
 # 30-token boilerplate appended to an md5-bucket of docs so ExactSubstr has
 # real repeated spans to find (the natural corpus has none at k=20)
 SUBSTR_BOILERPLATE = (
@@ -3922,6 +3962,7 @@ QUERIES = {
     "audio_features": q_audio_features,  # real stdlib WAV decode (round 4)
     "gopher_rules": q_gopher_rules,  # Gopher hard-rule gate (round 4)
     "c4_clean": q_c4_clean,  # C4 line-level cleaner (round 4)
+    "dedup_keep_best": q_dedup_keep_best,  # quality-priority retention (round 4)
     "dsir_sample": q_dsir_sample,
     "host_pagerank": q_host_pagerank,
     "host_quality": q_host_quality,
@@ -3999,6 +4040,7 @@ ORACLES = {
     "repetition_stats": SQL_REPETITION_STATS,
     "gopher_rules": SQL_GOPHER_RULES,
     "c4_clean": SQL_C4_CLEAN,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "sequence_packing_bpe": SQL_SEQUENCE_PACKING_BPE,

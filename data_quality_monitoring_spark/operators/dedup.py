@@ -948,3 +948,33 @@ def incremental_substring_dedup(
     new_grams = new_grams.localCheckpoint(eager=True)
     new_grams.write.mode("append").parquet(gram_store)
     return result
+
+
+def component_keep_best(
+    comp: DataFrame,
+    docs: DataFrame,
+    key: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-priority retention inside duplicate clusters: instead of the
+    default keep-min-key canonical, keep the member with the HIGHEST
+    ``score_col`` (ties → min key) — the NemoCurator / FineWeb retention
+    policy ("when near-dups collide, keep the best/longest copy, not the
+    lexicographically first url").
+
+    ``comp`` is ``connected_components`` output (node, component); ``docs``
+    carries ``key`` and ``score_col``.  Returns (node, component, score,
+    is_retained).  Scale shape: one join on node id + one window
+    partitioned by CLUSTER id — both operate on the pair-graph nodes only
+    (orders of magnitude smaller than the corpus), and the window
+    partition is a single duplicate cluster (web near-dup clusters are
+    tiny; a pathological mega-cluster is already capped upstream by the
+    LSH hot-bucket caps)."""
+    from pyspark.sql import Window
+
+    members = comp.join(
+        docs.select(F.col(key).alias("node"), F.col(score_col).alias("score")),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("score"), F.asc("node"))
+    return members.withColumn("is_retained", F.row_number().over(w) == 1)

@@ -42,6 +42,7 @@ def build_corpus(
     sample_rates: dict[str, float] | None = None,
     default_rate: float = 1.0,
     min_est_jaccard: float | None = None,
+    keep_best: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Returns (corpus_df[url, lang, text_scrubbed], stage-counts dict).
 
@@ -51,7 +52,12 @@ def build_corpus(
     ``min_est_jaccard`` (opt-in) inserts the minhash-agreement prefilter
     between banding and exact verify — the guard for low-entropy corpora
     where banding false-positive pairs grow superlinearly (see
-    operators/dedup.signature_prefilter for the recall math)."""
+    operators/dedup.signature_prefilter for the recall math).
+
+    ``keep_best`` (opt-in) switches near-dup cluster retention from
+    keep-min-key to keep-highest-quality-score (NemoCurator/FineWeb
+    policy; operators/dedup.component_keep_best, score =
+    textstats.quality_score on the scrubbed text)."""
     from ..operators.dedup import signature_prefilter
 
     filtered = quality_filter(spark, pages)
@@ -72,9 +78,22 @@ def build_corpus(
         cand = signature_prefilter(sig, cand, "url", min_est=min_est_jaccard)
     pairs = jaccard_verify(deduped, cand, "url", "text_scrubbed", jaccard_threshold)
     comp = connected_components(pairs, "a", "b")
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("url")
-    )
+    if keep_best:
+        from ..operators.dedup import component_keep_best
+        from ..operators.textstats import quality_score
+
+        scored = deduped.select(
+            "url", quality_score(F.col("text_scrubbed")).alias("_q")
+        )
+        losers = (
+            component_keep_best(comp, scored, "url", "_q")
+            .filter(~F.col("is_retained"))
+            .select(F.col("node").alias("url"))
+        )
+    else:
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("url")
+        )
     uniq = deduped.join(losers, "url", "left_anti")
 
     if sample_rates is not None:

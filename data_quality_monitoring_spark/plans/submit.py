@@ -129,6 +129,13 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "scan-local Column expressions, zero extra shuffles",
     )
     p.add_argument(
+        "--keep-best",
+        action="store_true",
+        help="corpus mode: retain the highest-quality-score member of each "
+        "near-dup cluster instead of the min-key one (NemoCurator/FineWeb "
+        "policy; operators/dedup.component_keep_best)",
+    )
+    p.add_argument(
         "--c4-clean",
         action="store_true",
         help="filter mode: apply the C4 line filter (Raffel et al. 2020 "
@@ -556,6 +563,7 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         spark, pages, jaccard_threshold=args.jaccard_threshold,
         sample_rates=rates, default_rate=args.default_rate,
         min_est_jaccard=getattr(args, "min_est_jaccard", None),
+        keep_best=getattr(args, "keep_best", False),
     )
     k = getattr(args, "substring_k", None)
     if k:  # ExactSubstr pass over the final corpus text

@@ -589,3 +589,66 @@ def test_anchor_term_stats(spark):
     # self link counted only for the non-self source
     assert got.get(("src1.com", "self"), 1) == 1
     assert not any(d == "" for d, _ in got)
+
+
+def test_component_keep_best(spark):
+    """Quality-priority retention: the highest-score member wins its
+    cluster (ties → min key), exactly one winner per cluster, and the
+    default min-key canonical would have picked differently."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "a long, b long")
+    comp = D.connected_components(pairs, "a", "b")
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (7, 0.4), (8, 0.4)], "id long, q double"
+    )
+    out = {r["node"]: r for r in D.component_keep_best(comp, docs, "id", "q").collect()}
+    assert out[2]["is_retained"] and not out[1]["is_retained"] and not out[3]["is_retained"]
+    assert out[2]["component"] == 1  # min-key canonical ≠ retained member
+    # tie in cluster {7,8} → min key wins
+    assert out[7]["is_retained"] and not out[8]["is_retained"]
+    per_cluster = {}
+    for r in out.values():
+        per_cluster[r["component"]] = per_cluster.get(r["component"], 0) + int(r["is_retained"])
+    assert all(v == 1 for v in per_cluster.values())
+
+
+def test_build_corpus_keep_best_retains_high_quality(spark):
+    """build_corpus(keep_best=True): in a planted near-dup cluster the
+    higher-quality-score member survives even when its url sorts AFTER the
+    other (the default keep-min-key would drop it)."""
+    from data_quality_monitoring_spark.datagen import generate_pages, generate_pages_pandas
+    from data_quality_monitoring_spark.operators.textstats import quality_score
+    from data_quality_monitoring_spark.plans.corpus import build_corpus
+    from data_quality_monitoring_spark.plans.pipeline import quality_filter
+
+    base_pdf = generate_pages_pandas(200)
+    base = generate_pages(spark, 200)
+    kept_urls = {
+        r["url"]
+        for r in quality_filter(spark, base).filter("keep").select("url").collect()
+    }
+    donor = (
+        base_pdf[base_pdf.url.isin(kept_urls)]
+        .assign(nw=lambda d: d.text.str.split().str.len())
+        .sort_values("nw", ascending=False)
+        .iloc[0]
+    )
+    # near-dup with MORE text (higher quality score via length factor) and a
+    # url that sorts after every base url
+    richer = {
+        **donor.drop("nw").to_dict(),
+        "url": "https://zzz.example/richer-near-dup",
+        "text": donor.text + " and the story continues with more details",
+    }
+    pages = base.unionByName(
+        spark.createDataFrame(pd.DataFrame([richer])[base.columns])
+    )
+
+    corpus, _ = build_corpus(spark, pages, jaccard_threshold=0.7, keep_best=True)
+    urls = {r["url"] for r in corpus.select("url").collect()}
+    # sanity: the planted doc really scores higher post-scrub
+    both = quality_filter(spark, pages).filter(
+        F.col("url").isin([donor.url, richer["url"]])
+    ).select("url", quality_score(F.col("text_scrubbed")).alias("q")).collect()
+    qmap = {r["url"]: r["q"] for r in both}
+    assert qmap[richer["url"]] > qmap[donor.url]
+    assert richer["url"] in urls and donor.url not in urls
