@@ -1055,21 +1055,23 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthetic vocabulary contains exactly one Gopher stop word
     ("the"), so the paper threshold would make ``keep`` vacuously false
     here; at 1 the verdict splits the corpus and every conjunct is live."""
-    from .operators.textstats import gopher_keep, gopher_signals
+    from .operators.textstats import gopher_gate_df
 
     d = _read(spark, sf_dir, "documents")
-    sig = gopher_signals(F.col("text"))
-    return d.select(
+    g = gopher_gate_df(
+        d, "text", out_col="keep", with_signals=True, min_stop_hits=1
+    )
+    return g.select(
         "doc_id",
-        sig["n_words"].cast("long").alias("n_words"),
-        sig["mean_word_len"].alias("mean_word_len"),
-        sig["symbol_word_ratio"].alias("symbol_word_ratio"),
-        sig["bullet_line_frac"].alias("bullet_line_frac"),
-        sig["ellipsis_line_frac"].alias("ellipsis_line_frac"),
-        sig["dup_line_frac"].alias("dup_line_frac"),
-        sig["alpha_word_frac"].alias("alpha_word_frac"),
-        sig["stop_hits"].cast("long").alias("stop_hits"),
-        gopher_keep(sig, min_stop_hits=1).alias("keep"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "dup_line_frac",
+        "alpha_word_frac",
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        "keep",
     )
 
 
@@ -1085,21 +1087,22 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``min_kept_lines=1``.  The paper-faithful defaults (5+ words,
     terminal punctuation, 3+ lines) are pinned by pytest on multi-line
     fixtures."""
-    from .operators.normalize import c4_keep, c4_line_signals
+    from .operators.normalize import c4_clean_df
 
     d = _read(spark, sf_dir, "documents")
-    sig = c4_line_signals(
-        F.col("text"), min_words_per_line=50, require_terminal_punct=False
+    g = c4_clean_df(
+        d, "text", min_words_per_line=50, require_terminal_punct=False,
+        min_kept_lines=1, out_keep="keep", with_signals=True,
     )
-    return d.select(
+    return g.select(
         "doc_id",
-        sig["n_lines"].cast("long").alias("n_lines"),
-        sig["n_kept_lines"].cast("long").alias("n_kept_lines"),
-        sig["text_clean"].alias("text_clean"),
-        sig["has_brace"].alias("has_brace"),
-        sig["has_lorem"].alias("has_lorem"),
-        sig["has_dirty"].alias("has_dirty"),
-        c4_keep(sig, min_kept_lines=1).alias("keep"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        "text_clean",
+        "has_brace",
+        "has_lorem",
+        "has_dirty",
+        "keep",
     )
 
 

@@ -52,11 +52,31 @@ C4_TERMINAL_PUNCT = r'[.!?"”]$'
 C4_DIRTY_DEFAULT = r"(?i)\b(?:frakking|dagnabbit|blasted|gorram)\b"
 
 
+def _c4_kept_lines(
+    lines: Column, min_words_per_line: int, require_terminal_punct: bool
+) -> Column:
+    """The C4 per-line filter: ≥N words, (optional) terminal punctuation,
+    no "javascript" — shared by the Column and DataFrame forms."""
+    word_ok = lambda ln: (  # noqa: E731
+        F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != ""))
+        >= min_words_per_line
+    )
+    punct_ok = (
+        (lambda ln: F.trim(ln).rlike(C4_TERMINAL_PUNCT))
+        if require_terminal_punct
+        else (lambda ln: F.lit(True))
+    )
+    js_free = lambda ln: ~F.lower(ln).rlike(r"\bjavascript\b")  # noqa: E731
+    return F.filter(lines, lambda ln: word_ok(ln) & punct_ok(ln) & js_free(ln))
+
+
 def c4_line_signals(
     col: Column,
     *,
     min_words_per_line: int = 5,
     require_terminal_punct: bool = True,
+    lines_col: Column | None = None,
+    kept_col: Column | None = None,
 ) -> dict[str, Column]:
     """C4 line-level cleaning signals (Raffel et al. 2020 §2.2 — the
     Colossal Clean Crawled Corpus heuristics, also the backbone of
@@ -69,20 +89,20 @@ def c4_line_signals(
     anywhere, "lorem ipsum", a dirty word (the scrub chain's fictional
     placeholder list stands in for the LDNOOBW list the paper uses).
 
-    Pure Column expressions — scan-local, zero shuffles, no Python."""
+    Pure Column expressions — scan-local, zero shuffles, no Python.
+    ``lines_col`` takes a pre-materialized non-blank-lines array so the
+    split runs once, not once per signal (see :func:`c4_clean_df`)."""
     text = F.coalesce(col, F.lit(""))
-    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
-    word_ok = lambda ln: (  # noqa: E731
-        F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != ""))
-        >= min_words_per_line
+    lines = (
+        F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+        if lines_col is None
+        else lines_col
     )
-    punct_ok = (
-        (lambda ln: F.trim(ln).rlike(C4_TERMINAL_PUNCT))
-        if require_terminal_punct
-        else (lambda ln: F.lit(True))
+    kept = (
+        _c4_kept_lines(lines, min_words_per_line, require_terminal_punct)
+        if kept_col is None
+        else kept_col
     )
-    js_free = lambda ln: ~F.lower(ln).rlike(r"\bjavascript\b")  # noqa: E731
-    kept = F.filter(lines, lambda ln: word_ok(ln) & punct_ok(ln) & js_free(ln))
     low = F.lower(text)
     return {
         "n_lines": F.size(lines),
@@ -106,3 +126,49 @@ def c4_keep(sig: dict[str, Column], *, min_kept_lines: int = 3) -> Column:
         & ~sig["has_dirty"]
     )
     return F.coalesce(keep, F.lit(False))
+
+
+def c4_clean_df(
+    df,
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 3,
+    out_keep: str = "keep_c4",
+    out_text: str = "text_c4",
+    with_signals: bool = False,
+):
+    """Staged DataFrame form of the C4 cleaner: projection 1 materializes
+    the non-blank-lines array, projection 2 the kept-lines array (the
+    expensive per-line word/punct/javascript filter runs ONCE), projection
+    3 the signals and verdict.  Interpreted HOF lambdas are not CSE'd
+    inside one projection; CollapseProject's non-cheap-alias guard keeps
+    the stages separate, so each array is computed exactly once.
+
+    Appends ``out_keep`` (verdict) and ``out_text`` (rebuilt text); with
+    ``with_signals``, every :func:`c4_line_signals` column too."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumns({
+        "_c4_t": text,
+        "_c4_lines": F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != ""),
+    }).withColumn(
+        "_c4_kept",
+        _c4_kept_lines(
+            F.col("_c4_lines"), min_words_per_line, require_terminal_punct
+        ),
+    )
+    sig = c4_line_signals(
+        F.col("_c4_t"),
+        min_words_per_line=min_words_per_line,
+        require_terminal_punct=require_terminal_punct,
+        lines_col=F.col("_c4_lines"),
+        kept_col=F.col("_c4_kept"),
+    )
+    out = staged.withColumns(
+        {out_keep: c4_keep(sig, min_kept_lines=min_kept_lines),
+         out_text: sig["text_clean"]}
+    )
+    if with_signals:
+        out = out.withColumns(dict(sig))
+    return out.drop("_c4_t", "_c4_lines", "_c4_kept")

@@ -83,7 +83,12 @@ def quality_score(col: Column, stopwords: list[str] | None = None) -> Column:
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_signals(col: Column) -> dict[str, Column]:
+def gopher_signals(
+    col: Column,
+    *,
+    words_col: Column | None = None,
+    lines_col: Column | None = None,
+) -> dict[str, Column]:
     """Per-document Gopher hard-rule quality signals (Rae et al. 2021,
     *Scaling Language Models: Methods, Analysis & Insights from Training
     Gopher*, Appendix A — the rule list MassiveWeb was filtered with, also
@@ -104,13 +109,23 @@ def gopher_signals(col: Column) -> dict[str, Column]:
       least two of the, be, to, of, and, that, have, with" rule)
 
     Fractions are raw IEEE doubles (exact int/int division — identical in
-    any engine), null when the denominator is 0."""
+    any engine), null when the denominator is 0.
+
+    ``words_col`` / ``lines_col``: pass pre-materialized array columns to
+    compute each split ONCE instead of once per signal — higher-order
+    lambdas are interpreted, so Catalyst cannot CSE them inside one
+    projection.  :func:`gopher_gate_df` does this for you (measured 1.5–2.0×
+    at 1M docs: 66k → 132k docs/s at local[32])."""
     text = F.coalesce(col, F.lit(""))
-    ws = words(text)
+    ws = words(text) if words_col is None else words_col
     n_words = F.size(ws)
     total_wl = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w))
     n_symbols = F.size(F.regexp_extract_all(text, F.lit(r"(#|\.\.\.|…)"), F.lit(1)))
-    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    lines = (
+        F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+        if lines_col is None
+        else lines_col
+    )
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[•‣▪*-]")))
     n_ellipsis = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
@@ -134,6 +149,37 @@ def gopher_signals(col: Column) -> dict[str, Column]:
         "alpha_word_frac": F.when(some_words, n_alpha / n_words),
         "stop_hits": stop_hits,
     }
+
+
+def gopher_gate_df(
+    df,
+    text_col: str = "text",
+    out_col: str = "keep_gopher",
+    with_signals: bool = False,
+    **thresholds,
+):
+    """Two-stage DataFrame form of the Gopher gate: one projection
+    materializes the words/lines arrays, the next computes every signal
+    from them — so the text splits once, not once per signal (interpreted
+    HOF lambdas are not CSE'd; CollapseProject's non-cheap-alias guard
+    keeps the two projections separate).  Measured 1.5–2.0× over the
+    single-projection form at 1M docs (66k → 132k docs/s, local[32]).
+
+    Appends ``out_col`` (the keep verdict; ``**thresholds`` forwarded to
+    :func:`gopher_keep`) and, with ``with_signals``, every signal column."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumns({
+        "_gq_t": text,
+        "_gq_ws": words(text),
+        "_gq_lines": F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != ""),
+    })
+    sig = gopher_signals(
+        F.col("_gq_t"), words_col=F.col("_gq_ws"), lines_col=F.col("_gq_lines")
+    )
+    out = staged.withColumn(out_col, gopher_keep(sig, **thresholds))
+    if with_signals:
+        out = out.withColumns(dict(sig))
+    return out.drop("_gq_t", "_gq_ws", "_gq_lines")
 
 
 def gopher_keep(

@@ -429,21 +429,23 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
         ]
         res = res.select(*keep_cols)
         if getattr(args, "c4_clean", False) and "text_scrubbed" in res.columns:
-            from ..operators.normalize import c4_keep, c4_line_signals
+            from ..operators.normalize import c4_clean_df
 
-            c4 = c4_line_signals(F.col("text_scrubbed"))
-            res = res.withColumn(
-                "keep", F.col("keep") & c4_keep(c4)
-            ).withColumn("text_scrubbed", c4["text_clean"])
+            res = (
+                c4_clean_df(res, "text_scrubbed")
+                .withColumn("keep", F.col("keep") & F.col("keep_c4"))
+                .withColumn("text_scrubbed", F.col("text_c4"))
+                .drop("keep_c4", "text_c4")
+            )
         if getattr(args, "gopher_gate", False) and "text_scrubbed" in res.columns:
-            from ..operators.textstats import gopher_keep, gopher_signals
+            from ..operators.textstats import gopher_gate_df
 
             # post-scrub text: PII masks perturb the word stats marginally
             # but the gate sees exactly what ships to the corpus
-            res = res.withColumn(
-                "keep",
-                F.col("keep")
-                & gopher_keep(gopher_signals(F.col("text_scrubbed"))),
+            res = (
+                gopher_gate_df(res, "text_scrubbed", out_col="_gopher_ok")
+                .withColumn("keep", F.col("keep") & F.col("_gopher_ok"))
+                .drop("_gopher_ok")
             )
         if tier_cuts is not None:
             cuts_df = spark.createDataFrame(

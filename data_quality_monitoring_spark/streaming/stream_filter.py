@@ -33,9 +33,36 @@ def read_page_stream(spark: SparkSession, input_dir: str, max_files: int = 16) -
     )
 
 
-def filtered_stream(spark: SparkSession, pages_stream: DataFrame) -> DataFrame:
+def filtered_stream(
+    spark: SparkSession,
+    pages_stream: DataFrame,
+    gopher_gate: bool = False,
+    c4_clean: bool = False,
+) -> DataFrame:
+    """The batch filter expression tree over a stream; ``gopher_gate`` /
+    ``c4_clean`` AND the same scan-local document gates the batch CLI
+    flags apply (stateless Column expressions, so they are
+    streaming-safe by construction)."""
     res = quality_filter(spark, pages_stream)
-    return res.select("url", "warc_ts", "lang", "keep", "verdict", "text_scrubbed")
+    out = res.select("url", "warc_ts", "lang", "keep", "verdict", "text_scrubbed")
+    if c4_clean:
+        from ..operators.normalize import c4_clean_df
+
+        out = (
+            c4_clean_df(out, "text_scrubbed")
+            .withColumn("keep", F.col("keep") & F.col("keep_c4"))
+            .withColumn("text_scrubbed", F.col("text_c4"))
+            .drop("keep_c4", "text_c4")
+        )
+    if gopher_gate:
+        from ..operators.textstats import gopher_gate_df
+
+        out = (
+            gopher_gate_df(out, "text_scrubbed", out_col="_gopher_ok")
+            .withColumn("keep", F.col("keep") & F.col("_gopher_ok"))
+            .drop("_gopher_ok")
+        )
+    return out
 
 
 def start_filter(

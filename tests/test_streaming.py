@@ -203,3 +203,60 @@ def test_stream_extracts_from_raw_html(spark, tmp_path):
     assert len(streamed) == 256
     assert streamed.equals(batch)
     assert streamed.keep.sum() > 0 and (~streamed.keep).sum() > 0
+
+
+def test_stream_gates_match_batch(spark, tmp_path):
+    """filtered_stream(gopher_gate/c4_clean) applies the SAME scan-local
+    gates the batch CLI flags do — streamed output equals the batch
+    expression tree run over the same files."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.operators.normalize import c4_clean_df
+    from data_quality_monitoring_spark.operators.textstats import gopher_gate_df
+    from data_quality_monitoring_spark.streaming.stream_filter import (
+        filtered_stream,
+        read_page_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    generate_pages(spark, 160, partitions=4).write.parquet(in_dir)
+
+    out = filtered_stream(
+        spark, read_page_stream(spark, in_dir), gopher_gate=True, c4_clean=True
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch = quality_filter(spark, spark.read.parquet(in_dir)).select(
+        "url", "keep", "text_scrubbed"
+    )
+    batch = (
+        c4_clean_df(batch, "text_scrubbed")
+        .withColumn("keep", F.col("keep") & F.col("keep_c4"))
+        .withColumn("text_scrubbed", F.col("text_c4"))
+        .drop("keep_c4", "text_c4")
+    )
+    batch = (
+        gopher_gate_df(batch, "text_scrubbed", out_col="_g")
+        .withColumn("keep", F.col("keep") & F.col("_g"))
+        .drop("_g")
+    )
+    b = batch.toPandas().sort_values("url").reset_index(drop=True)
+    s = (
+        spark.read.parquet(out_dir)
+        .select("url", "keep", "text_scrubbed")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(s) == 160
+    assert s[["url", "keep", "text_scrubbed"]].equals(b[["url", "keep", "text_scrubbed"]])
