@@ -74,6 +74,7 @@ HEADLINE = [
     "gopher_rules",  # Gopher hard-rule gate, pure codegen (round 4)
     "c4_clean",  # C4 line-level cleaner, pure codegen (round 4)
     "dedup_keep_best",  # quality-priority cluster retention (round 4)
+    "gopher_repetition",  # full Gopher repetition family, 1 Arrow pass (round 4)
 ]
 
 

@@ -1200,6 +1200,103 @@ FROM s
 """
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition family's SQL-expressible signals per document
+    (Rae et al. 2021 Table A1): duplicate line/paragraph fractions and
+    char fractions, top-{2,3,4}-gram char fractions — computed by the ONE
+    Arrow-pass kernel ``textstats.gopher_repetition`` and re-derived
+    relationally by the DuckDB oracle (unnest → group → window argmax with
+    the identical count-desc / length-desc / string-asc tie-break).
+
+    The positional-coverage signals (``dup_{5..10}gram_char_frac``) and the
+    paper-threshold ``rep_keep`` verdict ride in the same kernel but are
+    pinned by pytest fixtures instead (coverage semantics need word
+    positions — not reasonably SQL-expressible)."""
+    from .operators.textstats import gopher_repetition
+
+    d = _read(spark, sf_dir, "documents")
+    r = gopher_repetition(d, "doc_id")
+    return r.select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac", "top_2gram_char_frac",
+        "top_3gram_char_frac", "top_4gram_char_frac",
+    )
+
+
+def _gopher_rep_unit_sql(sep: str, prefix: str) -> str:
+    """Dup-unit stats over text split by ``sep``: occurrences of repeated
+    values / total, and their chars / total chars."""
+    return f"""
+{prefix}x AS (
+  SELECT doc_id, unnest(list_filter(
+    list_transform(string_split(text, {sep}), x -> trim(x)),
+    u -> u <> '')) AS u
+  FROM t
+), {prefix}c AS (
+  SELECT doc_id, u, count(*) AS c FROM {prefix}x GROUP BY 1, 2
+), {prefix}s AS (
+  SELECT doc_id,
+         sum(c)::BIGINT AS n_units,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE AS dup_units,
+         sum(len(u) * c)::BIGINT AS tot_ch,
+         sum(CASE WHEN c > 1 THEN len(u) * c ELSE 0 END)::DOUBLE AS dup_ch
+  FROM {prefix}c GROUP BY 1
+)"""
+
+
+def _gopher_rep_top_sql(n: int) -> str:
+    """Most-frequent word n-gram char fraction (count desc, char length
+    desc, string asc tie-break) as a 1-row-per-doc CTE ``t{n}``."""
+    return f"""
+g{n} AS (
+  SELECT doc_id, n_chars,
+         array_to_string(ws[i : i + {n - 1}], ' ') AS g
+  FROM w, unnest(generate_series(1, len(ws) - {n - 1})) AS _(i)
+  WHERE len(ws) >= {n} AND n_chars > 0
+), gc{n} AS (
+  SELECT doc_id, n_chars, g, count(*) AS c FROM g{n} GROUP BY 1, 2, 3
+), t{n} AS (
+  SELECT doc_id, c * length(g) / n_chars AS frac
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id
+          ORDER BY c DESC, length(g) DESC, g ASC) AS rn
+        FROM gc{n})
+  WHERE rn = 1
+)"""
+
+
+SQL_GOPHER_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{_WS_SQL}+'),
+                     x -> x <> '') AS ws,
+         length(text) AS n_chars
+  FROM t
+), {_gopher_rep_unit_sql("chr(10)", "ln")[1:]},
+{_gopher_rep_unit_sql("chr(10) || chr(10)", "pr")[1:]},
+{_gopher_rep_top_sql(2)[1:]},
+{_gopher_rep_top_sql(3)[1:]},
+{_gopher_rep_top_sql(4)[1:]}
+SELECT t.doc_id,
+       coalesce(lns.n_units, 0) AS n_lines,
+       lns.dup_units / lns.n_units AS dup_line_frac,
+       lns.dup_ch / nullif(lns.tot_ch, 0) AS dup_line_char_frac,
+       prs.dup_units / prs.n_units AS dup_para_frac,
+       prs.dup_ch / nullif(prs.tot_ch, 0) AS dup_para_char_frac,
+       t2.frac AS top_2gram_char_frac,
+       t3.frac AS top_3gram_char_frac,
+       t4.frac AS top_4gram_char_frac
+FROM t
+LEFT JOIN lns ON lns.doc_id = t.doc_id
+LEFT JOIN prs ON prs.doc_id = t.doc_id
+LEFT JOIN t2 ON t2.doc_id = t.doc_id
+LEFT JOIN t3 ON t3.doc_id = t.doc_id
+LEFT JOIN t4 ON t4.doc_id = t.doc_id
+"""
+
+
 def q_skew_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus stats via TWO-PHASE SALTED aggregation (the north
     rule's host/url-skew defuser, plans/pipeline.salted_group_count): phase
@@ -3966,6 +4063,7 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,  # Gopher hard-rule gate (round 4)
     "c4_clean": q_c4_clean,  # C4 line-level cleaner (round 4)
     "dedup_keep_best": q_dedup_keep_best,  # quality-priority retention (round 4)
+    "gopher_repetition": q_gopher_repetition,  # full repetition family (round 4)
     "dsir_sample": q_dsir_sample,
     "host_pagerank": q_host_pagerank,
     "host_quality": q_host_quality,
@@ -4044,6 +4142,7 @@ ORACLES = {
     "gopher_rules": SQL_GOPHER_RULES,
     "c4_clean": SQL_C4_CLEAN,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "sequence_packing_bpe": SQL_SEQUENCE_PACKING_BPE,

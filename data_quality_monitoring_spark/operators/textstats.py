@@ -4,6 +4,7 @@ native Column expressions (whole-stage codegen, no Python)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -271,3 +272,141 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(key, "term", "tf", "score", "rank")
     )
+
+
+GOPHER_REP_THRESHOLDS = {
+    # Rae et al. 2021 Table A1 — drop the doc when the signal EXCEEDS these
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """The FULL Gopher repetition-signal family (Rae et al. 2021 Table A1)
+    per document, plus the paper-threshold ``rep_keep`` verdict.
+
+    ONE Arrow-batched kernel pass, zero shuffles (same design as
+    ``q_repetition_stats`` — per-doc frequency tables live inside the
+    kernel, so at web scale this is embarrassingly parallel scan work).
+
+    Exact semantics (documented because the paper leaves normalization
+    open; the DuckDB oracle and the pytest fixtures pin these):
+
+    - lines = '\\n'-split, paragraphs = '\\n\\n'-split; blank units dropped.
+    - ``dup_line_frac`` / ``dup_para_frac``: occurrences of a value seen
+      more than once, over total units.
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: characters of those
+      occurrences over total characters of all units.
+    - word n-grams over the whitespace tokenization; an n-gram's character
+      length is ``sum(len(word)) + (n-1)`` (single-space joining).
+    - ``top_{2,3,4}gram_char_frac``: most frequent n-gram (ties → longer
+      char length, then lexicographically smaller single-space-joined
+      string) × its occurrence count × its char length, over total text
+      characters.
+    - ``dup_{5..10}gram_char_frac``: WORD-POSITION COVERAGE of all
+      occurrences of n-grams appearing more than once (overlaps counted
+      once): covered words' lengths + single spaces between adjacent
+      covered positions, over total text characters.
+
+    Fractions are null when the denominator is 0."""
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("n_lines", T.LongType()),
+        T.StructField("dup_line_frac", T.DoubleType()),
+        T.StructField("dup_line_char_frac", T.DoubleType()),
+        T.StructField("dup_para_frac", T.DoubleType()),
+        T.StructField("dup_para_char_frac", T.DoubleType()),
+    ]
+    for n in (2, 3, 4):
+        fields.append(T.StructField(f"top_{n}gram_char_frac", T.DoubleType()))
+    for n in range(5, 11):
+        fields.append(T.StructField(f"dup_{n}gram_char_frac", T.DoubleType()))
+    fields.append(T.StructField("rep_keep", T.BooleanType()))
+    out_t = T.StructType(fields)
+
+    @F.pandas_udf(out_t)
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        import re
+        from collections import Counter
+
+        split_ws = re.compile(r"[ \t\n\r\f\x0B]+").split
+
+        def unit_stats(units):
+            units = [u for u in (x.strip() for x in units) if u]
+            if not units:
+                return None, None, 0
+            c = Counter(units)
+            dup_n = sum(1 for u in units if c[u] > 1)
+            tot_ch = sum(len(u) for u in units)
+            dup_ch = sum(len(u) for u in units if c[u] > 1)
+            return (dup_n / len(units),
+                    (dup_ch / tot_ch) if tot_ch else None,
+                    len(units))
+
+        rows = []
+        for t in texts:
+            t = t or ""
+            n_chars = len(t)
+            lf, lcf, n_lines = unit_stats(t.split("\n"))
+            pf, pcf, _ = unit_stats(t.split("\n\n"))
+            ws = [w for w in split_ws(t) if w]
+            tops, dups = [], []
+            for n in (2, 3, 4):
+                if len(ws) < n or n_chars == 0:
+                    tops.append(None)
+                    continue
+                grams = Counter(
+                    " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)
+                )
+                # ties: count desc, char length desc, lexicographic asc —
+                # on the single-space-joined string, so an independent
+                # engine (the DuckDB oracle) orders identically
+                best = min(
+                    grams.items(),
+                    key=lambda kv: (-kv[1], -len(kv[0]), kv[0]),
+                )
+                tops.append(best[1] * len(best[0]) / n_chars)
+            for n in range(5, 11):
+                if len(ws) < n or n_chars == 0:
+                    dups.append(None)
+                    continue
+                grams = Counter(
+                    tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)
+                )
+                covered = set()
+                for i in range(len(ws) - n + 1):
+                    if grams[tuple(ws[i:i + n])] > 1:
+                        covered.update(range(i, i + n))
+                if not covered:
+                    dups.append(0.0)
+                    continue
+                ch = sum(len(ws[i]) for i in covered)
+                ch += sum(1 for i in covered if i + 1 in covered)
+                dups.append(ch / n_chars)
+            sig = dict(zip(
+                ["dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+                 "dup_para_char_frac", "top_2gram_char_frac",
+                 "top_3gram_char_frac", "top_4gram_char_frac"]
+                + [f"dup_{n}gram_char_frac" for n in range(5, 11)],
+                [lf, lcf, pf, pcf] + tops + dups,
+            ))
+            keep = all(
+                v is None or v <= GOPHER_REP_THRESHOLDS[k]
+                for k, v in sig.items()
+            )
+            rows.append((n_lines, lf, lcf, pf, pcf, *tops, *dups, keep))
+        return pd.DataFrame(rows, columns=[f.name for f in out_t.fields])
+
+    return df.select(key, rep(F.col(text_col)).alias("_r")).select(key, "_r.*")

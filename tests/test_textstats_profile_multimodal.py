@@ -426,3 +426,53 @@ def test_c4_line_filter_paper_defaults(spark):
     assert rows[3]["keep"] is False and rows[3]["has_lorem"] is True
     assert rows[4]["keep"] is False and rows[4]["has_dirty"] is True
     assert rows[5]["keep"] is False and rows[5]["text_clean"] == ""
+
+
+def test_gopher_repetition_full_family(spark):
+    """The non-SQL repetition signals (dup-ngram positional coverage) and
+    rep_keep, pinned on crafted fixtures against an independent
+    hand-rolled implementation of the documented semantics."""
+    P = "alpha beta gamma delta epsilon zeta"
+    filler = "one two three four five six seven eight"
+    doc_rep = f"{P} {filler} {P}"              # 6-gram repeats, 7-gram doesn't
+    # long enough that the (count=1) top n-grams stay under the thresholds
+    doc_clean = " ".join(f"w{i:03d}" for i in range(60))
+    doc_lines = "dup line\ndup line\nunique one\n\npara\n\npara"
+    df = spark.createDataFrame(
+        [(1, doc_rep), (2, doc_clean), (3, doc_lines)], "doc_id long, text string"
+    )
+    from data_quality_monitoring_spark.operators.textstats import (
+        GOPHER_REP_THRESHOLDS,
+        gopher_repetition,
+    )
+
+    rows = {r["doc_id"]: r for r in gopher_repetition(df, "doc_id").collect()}
+
+    def expected_cov(text, n):
+        ws = text.split()
+        grams = {}
+        for i in range(len(ws) - n + 1):
+            grams.setdefault(tuple(ws[i:i + n]), []).append(i)
+        covered = set()
+        for g, pos in grams.items():
+            if len(pos) > 1:
+                for i in pos:
+                    covered.update(range(i, i + n))
+        ch = sum(len(ws[i]) for i in covered)
+        ch += sum(1 for i in covered if i + 1 in covered)
+        return ch / len(text)
+
+    for n in range(5, 11):
+        assert rows[1][f"dup_{n}gram_char_frac"] == pytest.approx(
+            expected_cov(doc_rep, n), abs=0
+        ), n
+        assert rows[2][f"dup_{n}gram_char_frac"] == 0.0
+    # the repeated 6-word phrase covers both copies at n=5 and n=6 …
+    assert rows[1]["dup_6gram_char_frac"] > GOPHER_REP_THRESHOLDS["dup_6gram_char_frac"]
+    # … and nothing at n=7 (every 7-gram crosses into unique filler)
+    assert rows[1]["dup_7gram_char_frac"] == 0.0
+    assert rows[1]["rep_keep"] is False and rows[2]["rep_keep"] is True
+    # line/para tier: 2 of 5 non-blank lines are dups; paragraphs split on
+    # blank lines → ("dup line\ndup line\nunique one", "para", "para")
+    assert rows[3]["dup_line_frac"] == pytest.approx(4 / 5)
+    assert rows[3]["dup_para_frac"] == pytest.approx(2 / 3)
