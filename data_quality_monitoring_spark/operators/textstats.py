@@ -292,9 +292,11 @@ GOPHER_REP_THRESHOLDS = {
 }
 
 
-def gopher_repetition(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+def gopher_repetition_col(col: Column) -> Column:
     """The FULL Gopher repetition-signal family (Rae et al. 2021 Table A1)
-    per document, plus the paper-threshold ``rep_keep`` verdict.
+    as ONE struct Column, plus the paper-threshold ``rep_keep`` verdict —
+    so a caller can gate in place without a join
+    (``df.withColumn("_r", gopher_repetition_col(F.col(text)))``).
 
     ONE Arrow-batched kernel pass, zero shuffles (same design as
     ``q_repetition_stats`` — per-doc frequency tables live inside the
@@ -409,4 +411,12 @@ def gopher_repetition(df: DataFrame, key: str, text_col: str = "text") -> DataFr
             rows.append((n_lines, lf, lcf, pf, pcf, *tops, *dups, keep))
         return pd.DataFrame(rows, columns=[f.name for f in out_t.fields])
 
-    return df.select(key, rep(F.col(text_col)).alias("_r")).select(key, "_r.*")
+    return rep(col)
+
+
+def gopher_repetition(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """DataFrame form of :func:`gopher_repetition_col`: one row per ``key``
+    with every signal column flattened out of the struct."""
+    return df.select(
+        key, gopher_repetition_col(F.col(text_col)).alias("_r")
+    ).select(key, "_r.*")

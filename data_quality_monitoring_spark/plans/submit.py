@@ -136,6 +136,15 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "policy; operators/dedup.component_keep_best)",
     )
     p.add_argument(
+        "--rep-gate",
+        action="store_true",
+        help="filter mode: AND the full Gopher repetition-family verdict "
+        "(dup line/para fractions + char fractions, top-n-gram and "
+        "dup-n-gram char fractions at the Table-A1 thresholds; "
+        "operators/textstats.gopher_repetition) into keep — one Arrow "
+        "pass, zero extra shuffles",
+    )
+    p.add_argument(
         "--c4-clean",
         action="store_true",
         help="filter mode: apply the C4 line filter (Raffel et al. 2020 "
@@ -436,6 +445,14 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
                 .withColumn("keep", F.col("keep") & F.col("keep_c4"))
                 .withColumn("text_scrubbed", F.col("text_c4"))
                 .drop("keep_c4", "text_c4")
+            )
+        if getattr(args, "rep_gate", False) and "text_scrubbed" in res.columns:
+            from ..operators.textstats import gopher_repetition_col
+
+            res = res.withColumn(
+                "keep",
+                F.col("keep")
+                & gopher_repetition_col(F.col("text_scrubbed"))["rep_keep"],
             )
         if getattr(args, "gopher_gate", False) and "text_scrubbed" in res.columns:
             from ..operators.textstats import gopher_gate_df

@@ -767,3 +767,49 @@ def test_filter_mode_c4_clean(spark, tmp_path):
     expect_keep = F.col("keep_plain") & c4_keep(sig)
     assert both.filter(F.col("keep") != expect_keep).count() == 0
     assert both.filter(F.col("text_scrubbed") != sig["text_clean"]).count() == 0
+
+
+def test_filter_mode_rep_gate(spark, tmp_path):
+    """--rep-gate: keep tightens to keep_plain AND the Gopher repetition
+    verdict recomputed on the shipped text."""
+    from pyspark.sql import functions as F
+
+    from data_quality_monitoring_spark.operators.textstats import (
+        gopher_repetition_col,
+    )
+
+    in_dir = str(tmp_path / "in")
+    pages = generate_pages(spark, 100, partitions=4)
+    # plant heavy repetition in some kept docs so the gate actually fires
+    looped = pages.withColumn(
+        "text",
+        F.when(
+            F.crc32("url") % 4 == 0,
+            F.concat_ws(" ", F.col("text"), F.col("text"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    looped.write.parquet(in_dir)
+
+    plain = build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out_plain"),
+         "--n-buckets", "4", "--chunk-buckets", "4"]
+    )
+    run(spark, plain)
+    gated = build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out_rep"),
+         "--rep-gate", "--n-buckets", "4", "--chunk-buckets", "4"]
+    )
+    run(spark, gated)
+
+    p = spark.read.parquet(str(tmp_path / "out_plain" / "data")).select(
+        "url", F.col("keep").alias("keep_plain")
+    )
+    g = spark.read.parquet(str(tmp_path / "out_rep" / "data"))
+    both = g.join(p, "url")
+    assert both.filter(F.col("keep") & ~F.col("keep_plain")).count() == 0
+    expect = F.col("keep_plain") & gopher_repetition_col(
+        F.col("text_scrubbed")
+    )["rep_keep"]
+    assert both.filter(F.col("keep") != expect).count() == 0
+    # the planted self-repetition triggers real drops
+    assert g.filter("keep").count() < p.filter("keep_plain").count()
