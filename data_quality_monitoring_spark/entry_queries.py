@@ -1065,7 +1065,8 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
         "mean_word_len",
-        "symbol_word_ratio",
+        "hash_word_ratio",
+        "ellipsis_word_ratio",
         "bullet_line_frac",
         "ellipsis_line_frac",
         "dup_line_frac",
@@ -1115,7 +1116,7 @@ WITH t AS (
 ), k AS (
   SELECT doc_id, text, lines,
          list_filter(lines, l ->
-           len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+           len(list_filter(regexp_split_to_array(l, '[ \\t\\n\\r\\f\\x0B]+'),
                            w -> w <> '')) >= 50
            AND NOT regexp_matches(lower(l), '\\bjavascript\\b')) AS kept
   FROM t
@@ -1162,8 +1163,11 @@ WITH t AS (
               THEN list_sum(list_transform(words, w -> length(w)))::DOUBLE
                    / len(words) END AS mean_word_len,
          CASE WHEN len(words) > 0
-              THEN len(regexp_extract_all(text, '(#|\\.\\.\\.|…)', 1))::DOUBLE
-                   / len(words) END AS symbol_word_ratio,
+              THEN len(regexp_extract_all(text, '#', 0))::DOUBLE
+                   / len(words) END AS hash_word_ratio,
+         CASE WHEN len(words) > 0
+              THEN len(regexp_extract_all(text, '(\\.\\.\\.|…)', 1))::DOUBLE
+                   / len(words) END AS ellipsis_word_ratio,
          CASE WHEN len(lines) > 0
               THEN len(list_filter(lines,
                        l -> regexp_matches(trim(l), '^[•‣▪*-]')))::DOUBLE
@@ -1185,12 +1189,14 @@ WITH t AS (
            AS stop_hits
   FROM t
 )
-SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+SELECT doc_id, n_words, mean_word_len, hash_word_ratio, ellipsis_word_ratio,
+       bullet_line_frac,
        ellipsis_line_frac, dup_line_frac, alpha_word_frac, stop_hits,
        coalesce(
          n_words BETWEEN 50 AND 100000
          AND mean_word_len BETWEEN 3 AND 10
-         AND symbol_word_ratio <= 0.1
+         AND hash_word_ratio <= 0.1
+         AND ellipsis_word_ratio <= 0.1
          AND coalesce(bullet_line_frac <= 0.9, true)
          AND coalesce(ellipsis_line_frac <= 0.3, true)
          AND coalesce(dup_line_frac <= 0.3, true)
@@ -1225,11 +1231,14 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _gopher_rep_unit_sql(sep: str, prefix: str) -> str:
     """Dup-unit stats over text split by ``sep``: occurrences of repeated
-    values / total, and their chars / total chars."""
+    values / total, and their chars / total chars.  Units are stripped with
+    the explicit ``_WS_SQL`` class (NOT DuckDB's space-only ``trim``) to
+    match the kernel's ``str.strip(" \\t\\n\\r\\f\\x0b")`` exactly."""
     return f"""
 {prefix}x AS (
   SELECT doc_id, unnest(list_filter(
-    list_transform(string_split(text, {sep}), x -> trim(x)),
+    list_transform(string_split(text, {sep}),
+                   x -> regexp_replace(x, '^{_WS_SQL}+|{_WS_SQL}+$', '', 'g')),
     u -> u <> '')) AS u
   FROM t
 ), {prefix}c AS (

@@ -58,7 +58,9 @@ def _c4_kept_lines(
     """The C4 per-line filter: ≥N words, (optional) terminal punctuation,
     no "javascript" — shared by the Column and DataFrame forms."""
     word_ok = lambda ln: (  # noqa: E731
-        F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != ""))
+        # explicit whitespace class (rules._WS convention): Java \s and
+        # RE2 \s disagree on \x0B, so the oracle must see the same split
+        F.size(F.filter(F.split(ln, r"[ \t\n\r\f\x0B]+"), lambda w: w != ""))
         >= min_words_per_line
     )
     punct_ok = (

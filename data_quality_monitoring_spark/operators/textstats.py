@@ -99,7 +99,10 @@ def gopher_signals(
     shuffles, embarrassingly parallel at 10^12 docs.  Signals:
 
     - ``n_words`` / ``mean_word_len`` — word count and mean word length
-    - ``symbol_word_ratio`` — (``#`` + ellipsis occurrences) / words
+    - ``hash_word_ratio`` / ``ellipsis_word_ratio`` — ``#`` occurrences /
+      words and ellipsis (``...`` or ``…``) occurrences / words; the paper
+      gates EACH at 0.1 separately (Rae 2021 A.1.1 "symbol-to-word ratio
+      greater than 0.1 for either the hash symbol or the ellipsis")
     - ``bullet_line_frac`` / ``ellipsis_line_frac`` — of non-blank lines,
       the fraction starting with a bullet glyph / ending with an ellipsis
     - ``dup_line_frac`` — fraction of non-blank lines that repeat an
@@ -121,7 +124,8 @@ def gopher_signals(
     ws = words(text) if words_col is None else words_col
     n_words = F.size(ws)
     total_wl = F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w))
-    n_symbols = F.size(F.regexp_extract_all(text, F.lit(r"(#|\.\.\.|…)"), F.lit(1)))
+    n_hash = F.size(F.regexp_extract_all(text, F.lit(r"#"), F.lit(0)))
+    n_ellipsis_sym = F.size(F.regexp_extract_all(text, F.lit(r"(\.\.\.|…)"), F.lit(1)))
     lines = (
         F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
         if lines_col is None
@@ -143,7 +147,8 @@ def gopher_signals(
     return {
         "n_words": n_words,
         "mean_word_len": F.when(some_words, total_wl / n_words),
-        "symbol_word_ratio": F.when(some_words, n_symbols / n_words),
+        "hash_word_ratio": F.when(some_words, n_hash / n_words),
+        "ellipsis_word_ratio": F.when(some_words, n_ellipsis_sym / n_words),
         "bullet_line_frac": F.when(some_lines, n_bullet / n_lines),
         "ellipsis_line_frac": F.when(some_lines, n_ellipsis / n_lines),
         "dup_line_frac": F.when(some_lines, n_dup_lines / n_lines),
@@ -204,7 +209,8 @@ def gopher_keep(
         (sig["n_words"] >= min_words)
         & (sig["n_words"] <= max_words)
         & sig["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
-        & (sig["symbol_word_ratio"] <= max_symbol_ratio)
+        & (sig["hash_word_ratio"] <= max_symbol_ratio)
+        & (sig["ellipsis_word_ratio"] <= max_symbol_ratio)
         & F.coalesce(sig["bullet_line_frac"] <= max_bullet_frac, F.lit(True))
         & F.coalesce(sig["ellipsis_line_frac"] <= max_ellipsis_frac, F.lit(True))
         & F.coalesce(sig["dup_line_frac"] <= max_dup_line_frac, F.lit(True))
@@ -346,7 +352,10 @@ def gopher_repetition_col(col: Column) -> Column:
         split_ws = re.compile(r"[ \t\n\r\f\x0B]+").split
 
         def unit_stats(units):
-            units = [u for u in (x.strip() for x in units) if u]
+            # strip exactly the repo's explicit whitespace class (rules._WS)
+            # — NOT str.strip(), whose Unicode set (\x1c,  , …) the
+            # DuckDB oracle's RE2 trim cannot reproduce
+            units = [u for u in (x.strip(" \t\n\r\f\x0b") for x in units) if u]
             if not units:
                 return None, None, 0
             c = Counter(units)

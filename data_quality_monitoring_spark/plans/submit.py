@@ -437,6 +437,16 @@ def run(spark: SparkSession, args: argparse.Namespace) -> dict:
             if c in res.columns
         ]
         res = res.select(*keep_cols)
+        _gates = [g for g in ("c4_clean", "rep_gate", "gopher_gate")
+                  if getattr(args, g, False)]
+        if _gates and "text_scrubbed" not in res.columns:
+            # an explicitly requested gate must never silently no-op
+            raise SystemExit(
+                f"--{_gates[0].replace('_', '-')} requires the scrubbed text "
+                "column, but 'text_scrubbed' is not in the projected output "
+                f"(columns: {res.columns}); enable the scrub stage or drop "
+                "the gate flag"
+            )
         if getattr(args, "c4_clean", False) and "text_scrubbed" in res.columns:
             from ..operators.normalize import c4_clean_df
 

@@ -382,8 +382,11 @@ def test_gopher_keep_paper_thresholds(spark):
                            *[v.alias(k) for k, v in sig.items()]).collect()
     }
     assert rows[1]["keep"] is True and rows[1]["stop_hits"] == 8
-    assert rows[2]["keep"] is False  # symbol_word_ratio 10/85 > 0.1
-    assert rows[2]["symbol_word_ratio"] > 0.1
+    assert rows[2]["keep"] is False  # hash_word_ratio 30/85 > 0.1
+    assert rows[2]["hash_word_ratio"] > 0.1
+    # the paper gates each symbol separately: the hash flood must not
+    # leak into the ellipsis ratio
+    assert rows[2]["ellipsis_word_ratio"] <= 0.1
 
 
 def test_c4_line_filter_paper_defaults(spark):
@@ -472,7 +475,9 @@ def test_gopher_repetition_full_family(spark):
     # … and nothing at n=7 (every 7-gram crosses into unique filler)
     assert rows[1]["dup_7gram_char_frac"] == 0.0
     assert rows[1]["rep_keep"] is False and rows[2]["rep_keep"] is True
-    # line/para tier: 2 of 5 non-blank lines are dups; paragraphs split on
-    # blank lines → ("dup line\ndup line\nunique one", "para", "para")
+    # line/para tier: 4 of 5 line OCCURRENCES belong to a repeated value
+    # (occurrence-counting — NOT gopher_signals' (n-distinct)/n definition,
+    # which shares the column name); paragraphs split on blank lines →
+    # ("dup line\ndup line\nunique one", "para", "para")
     assert rows[3]["dup_line_frac"] == pytest.approx(4 / 5)
     assert rows[3]["dup_para_frac"] == pytest.approx(2 / 3)
