@@ -127,6 +127,42 @@ def train_bigram(texts: list[str], max_vocab: int = 50_000, k: float = 0.5) -> B
     return BigramLM(vocab, ctx, word, bi, n_tokens, k)
 
 
+AUTO_FLOOR_CUTOFF = 5_000_000
+"""Corpus-size (doc-count) cutoff above which the distributed LM trainers
+auto-raise their count floors to 2 (see :func:`_resolve_floors`).  The same
+magnitude as ``perplexity_buckets``' ``rank_cutoff`` — the point where an
+"exact by default" physical strategy stops being a safe default."""
+
+
+def _resolve_floors(
+    docs,
+    min_word_count: int | None,
+    ngram_min_count: int | None,
+    auto_floor_cutoff: int,
+) -> tuple[int, int]:
+    """Pick the trainers' count floors, ``perplexity_buckets``-``auto`` style.
+
+    Explicit ints pass through untouched.  A ``None`` floor resolves from
+    the corpus size: ``1`` (exact / bit-identical to the local trainers) up
+    to ``auto_floor_cutoff`` docs, ``2`` above it — so an operator who
+    never reads the flag docs cannot ship an unbounded pass-2 collect to a
+    10^12-doc ``--mode llm-train`` run.  With a floor of ``c ≥ 2`` the
+    collected n-gram-type rows are hard-bounded by ``total n-gram
+    occurrences / c`` (a type needs ≥c occurrences to survive) on top of
+    the ``V^order`` key-space bound; at floor 1 the hapax tail — the vast
+    majority of types on web text (Zipf) — all survives, which is exactly
+    the driver-OOM this resolver exists to prevent.  One ``count()`` over
+    the (already lang-filtered) corpus is paid only when a floor is left
+    to auto."""
+    if min_word_count is not None and ngram_min_count is not None:
+        return min_word_count, ngram_min_count
+    auto = 1 if docs.count() <= auto_floor_cutoff else 2
+    return (
+        auto if min_word_count is None else min_word_count,
+        auto if ngram_min_count is None else ngram_min_count,
+    )
+
+
 def _vocab_rows(
     docs,
     text_col: str,
@@ -183,8 +219,9 @@ def train_bigram_distributed(
     lang_col: str = "lang",
     max_vocab: int = 50_000,
     k: float = 0.5,
-    min_word_count: int = 1,
-    ngram_min_count: int = 1,
+    min_word_count: int | None = None,
+    ngram_min_count: int | None = None,
+    auto_floor_cutoff: int = AUTO_FLOOR_CUTOFF,
 ) -> dict[str, BigramLM]:
     """Distributed count-based LM training — the reference's ``llm-train``
     entry point (llm_based/llm_model_training.py:163-314) as two Spark
@@ -200,18 +237,25 @@ def train_bigram_distributed(
     tests/test_models.py).  Both shuffles carry map-side-combined count
     partials bounded by vocab/bigram-type counts, not corpus size.
 
-    Scale levers (both default 1 = exact/bit-identical):
+    Scale levers (both default to AUTO via :func:`_resolve_floors`:
+    floor 1 = exact/bit-identical up to ``auto_floor_cutoff`` docs, floor 2
+    above it so the pass-2 collect is bounded by default, not only when the
+    operator reads this docstring):
 
     * ``min_word_count`` — floor on word counts before the vocab window,
       pruning the hapax tail off the per-language sort task.
     * ``ngram_min_count`` — floor on bigram-type counts before the driver
       collect in pass 2, bounding the collected model to frequent types
       (KenLM's ``--prune``); ctx/word/n_tokens then fold from the kept
-      types only, i.e. the standard count-pruned LM."""
+      types only, i.e. the standard count-pruned LM.  With floor ``c`` the
+      collect is ≤ total bigram occurrences / c rows (and ≤ V² always)."""
     spark = docs.sparkSession
     # untagged rows can't train a per-lang LM (and a None key would break
     # the per-lang vocab sort downstream)
     docs = docs.filter(F.col(lang_col).isNotNull())
+    min_word_count, ngram_min_count = _resolve_floors(
+        docs, min_word_count, ngram_min_count, auto_floor_cutoff
+    )
     vocabs = _build_vocabs(
         _vocab_rows(docs, text_col, lang_col, max_vocab, min_word_count)
     )
@@ -568,8 +612,9 @@ def train_trigram_distributed(
     lang_col: str = "lang",
     max_vocab: int = 50_000,
     k: float = 0.5,
-    min_word_count: int = 1,
-    ngram_min_count: int = 1,
+    min_word_count: int | None = None,
+    ngram_min_count: int | None = None,
+    auto_floor_cutoff: int = AUTO_FLOOR_CUTOFF,
 ) -> dict[str, TrigramLM]:
     """Distributed trigram training: the distributed top-k vocab pass of
     :func:`train_bigram_distributed` (driver collect bounded at
@@ -578,11 +623,18 @@ def train_trigram_distributed(
     so the shuffle payload is bounded by trigram-type counts (map-side
     combined), never corpus size.  ``min_word_count`` /
     ``ngram_min_count`` are the same scale levers as the bigram trainer
-    (floor the vocab window input / the collected trigram types)."""
+    (floor the vocab window input / the collected trigram types), with the
+    same :func:`_resolve_floors` auto default: exact (1) up to
+    ``auto_floor_cutoff`` docs, count-pruned (2) above — the trigram type
+    space is cubic in V, so an unbounded default collect here is even less
+    survivable than the bigram one."""
     from collections import defaultdict
 
     spark = docs.sparkSession
     docs = docs.filter(F.col(lang_col).isNotNull())
+    min_word_count, ngram_min_count = _resolve_floors(
+        docs, min_word_count, ngram_min_count, auto_floor_cutoff
+    )
     vocabs = _build_vocabs(
         _vocab_rows(docs, text_col, lang_col, max_vocab, min_word_count)
     )

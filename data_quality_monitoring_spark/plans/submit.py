@@ -277,15 +277,17 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "model_training.py:400-563); 0 disables",
     )
     p.add_argument(
-        "--min-word-count", type=int, default=1,
+        "--min-word-count", type=int, default=None,
         help="llm-train: floor on word counts before the per-language "
         "top-k vocab window — prunes the hapax tail off the sort task "
-        "(web scale: >=2; default 1 = exact)",
+        "(default: auto — 1/exact up to 5M docs, 2 above; set explicitly "
+        "to override)",
     )
     p.add_argument(
-        "--ngram-min-count", type=int, default=1,
+        "--ngram-min-count", type=int, default=None,
         help="llm-train: floor on n-gram-type counts before the model "
-        "collect (KenLM-style count pruning; default 1 = exact)",
+        "collect (KenLM-style count pruning; default: auto — 1/exact up "
+        "to 5M docs, 2 above)",
     )
     p.add_argument(
         "--llm-order", type=int, choices=[2, 3], default=2,
@@ -739,8 +741,8 @@ def run_llm_train(spark: SparkSession, args: argparse.Namespace) -> dict:
     docs = spark.read.parquet(args.input)
     models = train_bigram_distributed(
         docs,
-        min_word_count=getattr(args, "min_word_count", 1),
-        ngram_min_count=getattr(args, "ngram_min_count", 1),
+        min_word_count=getattr(args, "min_word_count", None),
+        ngram_min_count=getattr(args, "ngram_min_count", None),
     )
     Path(args.output).mkdir(parents=True, exist_ok=True)
     summary = {}

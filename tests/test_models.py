@@ -418,6 +418,56 @@ def test_lm_trainer_driver_collect_is_bounded(spark):
     assert tl.tri and all(v >= 2 for v in tl.tri.values())
 
 
+def test_lm_trainer_auto_floors(spark):
+    """VERDICT r4 task 1: the distributed trainers bound their pass-2
+    collect BY DEFAULT — above ``auto_floor_cutoff`` docs the count floors
+    auto-raise to 2 (collected types ≤ n-gram occurrences / 2, the
+    documented bound), below it they stay 1 and the result is bit-identical
+    to the local trainer without any flag being set."""
+    import pandas as pd
+
+    from data_quality_monitoring_spark.operators.perplexity import (
+        train_bigram,
+        train_bigram_distributed,
+        train_trigram_distributed,
+    )
+
+    # heavy-tail: every doc contributes hapax words/bigrams plus a shared
+    # frequent prefix, so floor 2 prunes a real (and countable) tail
+    rows = []
+    for i in range(40):
+        toks = [f"w{i * 20 + j}" for j in range(20)]
+        rows.append((f"the of and {' '.join(toks)}", "en"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["text", "lang"]))
+
+    # below the cutoff: auto == exact == local (no flags anywhere)
+    auto_lm = train_bigram_distributed(docs, max_vocab=5000)["en"]
+    local_lm = train_bigram([t for t, _ in rows], max_vocab=5000)
+    assert auto_lm.vocab == local_lm.vocab and auto_lm.bi == local_lm.bi
+
+    # above the cutoff (forced low): floors resolve to 2 with NO flags set —
+    # the collect holds only types seen ≥2 times and is strictly smaller
+    exact_types = len(auto_lm.bi)
+    pruned = train_bigram_distributed(
+        docs, max_vocab=5000, auto_floor_cutoff=10
+    )["en"]
+    assert pruned.bi and all(v >= 2 for v in pruned.bi.values())
+    assert len(pruned.bi) < exact_types
+    assert len(pruned.bi) <= sum(pruned.bi.values()) / 2  # the documented bound
+    # the vocab window input was floored too: hapax words never reach it
+    assert all(w in ("the", "of", "and", "<s>") for w in pruned.vocab)
+
+    # an explicit floor always wins over auto, in both directions
+    explicit = train_bigram_distributed(
+        docs, max_vocab=5000, auto_floor_cutoff=10,
+        min_word_count=1, ngram_min_count=1,
+    )["en"]
+    assert explicit.bi == local_lm.bi
+
+    tri = train_trigram_distributed(docs, max_vocab=5000, auto_floor_cutoff=10)["en"]
+    assert tri.tri and all(v >= 2 for v in tri.tri.values())
+
+
 def test_trigram_npz_roundtrip(tmp_path):
     """save_trigram_npz / load_trigram_npz: the broadcast-from-storage path
     reproduces scores exactly."""
