@@ -93,16 +93,38 @@ def _steal_ticks() -> tuple[int, int]:
         return 0, 0
 
 
-def run_query(spark, name: str, sf_dir: str) -> float:
-    def once() -> float:
+STEAL_GATE_PCT = 1.0  # a "clean" window: <1% hypervisor steal
+MAX_RUNS_PER_QUERY = 6
+
+
+def run_query(spark, name: str, sf_dir: str) -> tuple[float, float, int]:
+    """Best-of-N with a STEAL-GATED retry (VERDICT r4 task 2).
+
+    Each run measures its own /proc/stat steal window.  Min-of-3 is the
+    base protocol; if even the fastest run's window saw >= STEAL_GATE_PCT
+    steal, the minimum is still contaminated (a burst longer than one
+    best-of-3 window — the r4 artifact's 1.91x flagship reading), so keep
+    re-running up to MAX_RUNS_PER_QUERY until one clean-window run exists.
+    Returns (best seconds, that run's steal %, runs used) — the recorded
+    number carries its own evidence either way."""
+
+    def once() -> tuple[float, float]:
+        s0, j0 = _steal_ticks()
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        s1, j1 = _steal_ticks()
+        stl = 100.0 * (s1 - s0) / (j1 - j0) if j1 > j0 else 0.0
+        return dt, stl
 
-    # best of three: min-of-N approximates the un-stolen wall on a host
-    # with bursty hypervisor steal (see BENCH.md / _steal_ticks)
-    return min(once(), once(), once())
+    runs = [once() for _ in range(3)]
+    while (
+        min(runs)[1] >= STEAL_GATE_PCT and len(runs) < MAX_RUNS_PER_QUERY
+    ):
+        runs.append(once())
+    best = min(runs)
+    return best[0], best[1], len(runs)
 
 
 def main() -> None:
@@ -122,8 +144,13 @@ def main() -> None:
 
     steal0, total0 = _steal_ticks()
     timings: dict[str, float] = {}
+    query_steal: dict[str, float] = {}
+    query_runs: dict[str, int] = {}
     for name in HEADLINE:
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+        t, stl, n = run_query(spark, name, sf_dir)
+        timings[name] = round(t, 3)
+        query_steal[name] = round(stl, 2)
+        query_runs[name] = n
     # the flagship sets the headline docs/s: re-measure it at the END of
     # the battery too — a shared-bus burst localized at the start of the
     # run (measured 3.6x inflation on this host) can't wreck the one
@@ -131,7 +158,8 @@ def main() -> None:
     # reported raw; queries["pipeline_verdict"] stays protocol-consistent
     # (min-of-3 at battery start) so per-query cross-round deltas compare
     # like with like, and docs/s takes the min of the two placements.
-    flagship_end = round(run_query(spark, "pipeline_verdict", sf_dir), 3)
+    flagship_end, flagship_end_steal, _ = run_query(spark, "pipeline_verdict", sf_dir)
+    flagship_end = round(flagship_end, 3)
     steal1, total1 = _steal_ticks()
     steal_pct = (
         round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
@@ -156,6 +184,12 @@ def main() -> None:
                 "flagship_runs": 6,
                 "runs_per_query": 3,
                 "steal_pct": steal_pct,
+                # per-query: steal % inside the RECORDED (fastest) run's
+                # window + how many runs the steal gate needed; a recorded
+                # number with steal < 1% is regression-comparable on its own
+                "query_steal_pct": query_steal,
+                "query_runs": query_runs,
+                "steal_gate_pct": STEAL_GATE_PCT,
             }
         )
     )
