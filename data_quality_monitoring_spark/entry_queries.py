@@ -4029,65 +4029,13 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 100
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
-    # Order matters: the driver caps its per-round battery at 50 queries
-    # (CORRECTNESS_r02/r03), so ordering ROTATES coverage round-by-round
-    # (VERDICT r3 task 3): the longest-unchecked queries go FIRST.
+    # Order matters: the driver caps its per-round battery at 50 queries,
+    # so ordering ROTATES coverage round-by-round (VERDICT r3 task 3 /
+    # r4 task 3): the longest-unchecked queries go FIRST, so no query's
+    # latest green driver row is ever more than two rounds old.
     #
-    # Tier 1 (this round's stale set — last driver row r1/r2): the 21
-    # queries the r3 battery did not reach.
-    "dedup_exact": q_dedup_exact,
-    "similarity_topk": q_similarity_topk,
-    "keyword_check": q_keyword_check,
-    "lang_distribution": q_lang_distribution,
-    "sequence_packing": q_sequence_packing,
-    "sample_stratified": q_sample_stratified,
-    "quality_score": q_quality_score,
-    "profile_quantiles": q_profile_quantiles,
-    "events_hourly": q_events_hourly,
-    "events_sessionize": q_events_sessionize,
-    "window_running_sum": q_window_running_sum,
-    "events_rollup": q_events_rollup,
-    "events_json": q_events_json,
-    "topk_per_group": q_topk_per_group,
-    "profile_stats": q_profile_stats,
-    "token_bpeish": q_token_bpeish,
-    "fingerprint": q_fingerprint,
-    "lang_heuristic": q_lang_heuristic,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q1": q_tpch_q1,
-    "revenue_by_nation": q_revenue_by_nation,
-    # Tier 2 (r3-green, re-checked this round): the flagship, every query
-    # whose code changed this round (perplexity/langid trainers, dsir), and
-    # the distinctive single-operator contracts.
-    "pipeline_verdict": q_pipeline_verdict,
-    "pipeline_verdict_full": q_pipeline_verdict_full,
-    "pipeline_rules_verdict": q_pipeline_rules_verdict,
-    "langid_scores": q_langid_scores,
-    "quality_model_scores": q_quality_model_scores,
-    "perplexity_scores": q_perplexity_scores,
-    "perplexity_trigram": q_perplexity_trigram,
-    "perplexity_buckets": q_perplexity_buckets,
-    "llm_tier_verdict": q_llm_tier_verdict,  # optional LLM tiers (round 4)
-    "audio_features": q_audio_features,  # real stdlib WAV decode (round 4)
-    "gopher_rules": q_gopher_rules,  # Gopher hard-rule gate (round 4)
-    "c4_clean": q_c4_clean,  # C4 line-level cleaner (round 4)
-    "dedup_keep_best": q_dedup_keep_best,  # quality-priority retention (round 4)
-    "gopher_repetition": q_gopher_repetition,  # full repetition family (round 4)
-    "dsir_sample": q_dsir_sample,
-    "host_pagerank": q_host_pagerank,
-    "host_quality": q_host_quality,
-    "link_edges": q_link_edges,
-    "anchor_terms": q_anchor_terms,
-    "url_canonical": q_url_canonical,
-    "noindex_pages": q_noindex_pages,
-    "corpus_mixture": q_corpus_mixture,
-    "semantic_dedup": q_semantic_dedup,
-    "fuzzy_decontamination": q_fuzzy_decontamination,
-    "decontamination": q_decontamination,
-    "decontamination_bloom": q_decontamination_bloom,
-    "embedding_near_dup": q_embedding_near_dup,
-    "ann_ivf": q_ann_ivf,
-    "centroid_similarity": q_centroid_similarity,
+    # Tier 1 (the 28 queries whose latest driver row is r3 — positions
+    # 51-78 of the r4 registry): first in line this round.
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -4095,13 +4043,6 @@ QUERIES = {
     "dedup_substring": q_dedup_substring,
     "line_dedup": q_line_dedup,
     "multifield_cells": q_multifield_cells,
-    # Tier 3 (≥51 — drops off a 50-query battery THIS round only; every
-    # entry here has a green r3 row, so it stays within the two-round
-    # freshness window and rotates to tier 1 next round): family-redundant
-    # contracts (packing family has 4 green siblings above via
-    # sequence_packing; rules via rule-family rows in tiers 1-2; text
-    # stats via token_bpeish/fingerprint; metrics via weighted/threshold
-    # pytest + tier-2 rows).
     "shuffled_shards": q_shuffled_shards,
     "pack_texts": q_pack_texts,
     "pack_token_ids": q_pack_token_ids,
@@ -4123,6 +4064,64 @@ QUERIES = {
     "score_histogram": q_score_histogram,
     "skew_salted_stats": q_skew_salted_stats,
     "profile_value_counts": q_profile_value_counts,
+    # Tier 2 (r4-green but code-touched THIS round — gopher/c4 whitespace
+    # alignment, split symbol ratios, LM-trainer auto floors — plus the
+    # flagships): must re-verify on the new code.
+    "gopher_rules": q_gopher_rules,
+    "c4_clean": q_c4_clean,
+    "gopher_repetition": q_gopher_repetition,
+    "perplexity_scores": q_perplexity_scores,
+    "perplexity_trigram": q_perplexity_trigram,
+    "perplexity_buckets": q_perplexity_buckets,
+    "llm_tier_verdict": q_llm_tier_verdict,
+    "pipeline_verdict": q_pipeline_verdict,
+    "pipeline_verdict_full": q_pipeline_verdict_full,
+    "pipeline_rules_verdict": q_pipeline_rules_verdict,
+    # Tier 2b (r4-green, highest-value re-checks to fill the 50): model
+    # scorers and the scale-distinctive dedup/selection contracts.
+    "langid_scores": q_langid_scores,
+    "quality_model_scores": q_quality_model_scores,
+    "dsir_sample": q_dsir_sample,
+    "dedup_keep_best": q_dedup_keep_best,
+    "decontamination_bloom": q_decontamination_bloom,
+    "audio_features": q_audio_features,
+    "host_pagerank": q_host_pagerank,
+    "host_quality": q_host_quality,
+    "embedding_near_dup": q_embedding_near_dup,
+    "semantic_dedup": q_semantic_dedup,
+    "centroid_similarity": q_centroid_similarity,
+    "corpus_mixture": q_corpus_mixture,
+    # Tier 3 (≥51 — drops off a 50-query battery THIS round only; every
+    # entry here has a green r4 row, so it stays within the two-round
+    # freshness window and rotates to tier 1 next round).
+    "dedup_exact": q_dedup_exact,
+    "similarity_topk": q_similarity_topk,
+    "keyword_check": q_keyword_check,
+    "lang_distribution": q_lang_distribution,
+    "sequence_packing": q_sequence_packing,
+    "sample_stratified": q_sample_stratified,
+    "quality_score": q_quality_score,
+    "profile_quantiles": q_profile_quantiles,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "window_running_sum": q_window_running_sum,
+    "events_rollup": q_events_rollup,
+    "events_json": q_events_json,
+    "topk_per_group": q_topk_per_group,
+    "profile_stats": q_profile_stats,
+    "token_bpeish": q_token_bpeish,
+    "fingerprint": q_fingerprint,
+    "lang_heuristic": q_lang_heuristic,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q1": q_tpch_q1,
+    "revenue_by_nation": q_revenue_by_nation,
+    "ann_ivf": q_ann_ivf,
+    "link_edges": q_link_edges,
+    "anchor_terms": q_anchor_terms,
+    "url_canonical": q_url_canonical,
+    "noindex_pages": q_noindex_pages,
+    "fuzzy_decontamination": q_fuzzy_decontamination,
+    "decontamination": q_decontamination,
 }
 
 ORACLES = {
