@@ -13,8 +13,15 @@ on plain parquet behind one interface (SURVEY.md §7.3):
   crashed, partially-written chunk is safely rewritten on resume
   (idempotent replay — the manifest is only advanced after a successful
   write),
-* ``_manifest/snapshot-K.json`` records committed buckets; ``_manifest/
-  current`` points at the latest snapshot (atomic rename),
+* ``_manifest/snapshot-K.json`` records committed buckets; a snapshot file
+  is born complete via atomic exclusive create (``os.link`` of a
+  fully-written temp), so its existence IS the commit; ``_manifest/
+  current`` is a best-effort hint pointer,
+* concurrent writers serialize: a run-level O_EXCL lock fails the second
+  ``run()`` cleanly before it mutates anything (stale locks from dead pids
+  are stolen), and the commit itself is optimistic-concurrency with retry —
+  disjoint racers merge, overlapping racers raise ``CommitConflictError``
+  (the Iceberg protocol shape; tests/test_manifest_concurrency.py),
 * ``_lineage/`` holds one row per committed bucket: counts, kept, and an
   order-independent content checksum (``bit_xor(xxhash64(url))``) — the
   audit trail that proves a resumed run produced exactly the same table.
@@ -40,6 +47,20 @@ LINEAGE_SCHEMA = (
 )
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another live writer holds this table's run lock.  Raised BEFORE any
+    data or manifest mutation, so the losing run leaves no trace — the
+    emulation's analogue of an Iceberg commit failing validation up front."""
+
+
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency failure at commit time (the Iceberg retry
+    model): a racing writer committed first and its snapshot covers buckets
+    this run also wrote.  The loser must abandon and resume — its buckets
+    are already committed by the winner, and resume skips committed buckets
+    (the idempotent-replay rule), so no partial commit is ever visible."""
+
+
 class PartitionedSink:
     def __init__(self, root: str, n_buckets: int = 32, chunk_buckets: int = 8):
         self.root = Path(root)
@@ -55,8 +76,16 @@ class PartitionedSink:
     # ---------------- manifest bookkeeping (driver-side, tiny)
 
     def _current_snapshot(self) -> int:
-        cur = self.manifest_dir / "current"
-        return int(cur.read_text()) if cur.exists() else -1
+        """Latest committed snapshot id — the MAX over snapshot files, not
+        the ``current`` pointer: under concurrent writers the pointer is a
+        lagging hint (it may briefly regress between two racers' renames),
+        while a snapshot file's existence IS the commit (exclusive-create,
+        see :meth:`_commit`)."""
+        snaps = [
+            int(p.stem.split("-", 1)[1])
+            for p in self.manifest_dir.glob("snapshot-*.json")
+        ]
+        return max(snaps, default=-1)
 
     def committed_buckets(self) -> set[int]:
         snap = self._current_snapshot()
@@ -65,17 +94,86 @@ class PartitionedSink:
         manifest = json.loads((self.manifest_dir / f"snapshot-{snap}.json").read_text())
         return set(manifest["buckets"])
 
-    def _commit(self, new_buckets: list[int]) -> int:
-        snap = self._current_snapshot()
-        buckets = sorted(self.committed_buckets() | set(new_buckets))
-        nxt = snap + 1
-        (self.manifest_dir / f"snapshot-{nxt}.json").write_text(
-            json.dumps({"snapshot": nxt, "buckets": buckets, "committed_at_chunk": new_buckets})
+    def _commit(self, new_buckets: list[int], max_retries: int = 5) -> int:
+        """Optimistic-concurrency commit (the Iceberg protocol shape):
+        build the new snapshot against the CURRENT base, then claim the
+        next snapshot id with an atomic exclusive create (``os.link`` of a
+        fully-written temp file — readers can never observe a partial
+        snapshot).  Losing the id race refreshes the base and retries;
+        discovering the refreshed base already covers one of our buckets
+        raises :class:`CommitConflictError` instead of silently merging —
+        a racing writer overwrote the same data partition, so our files
+        may be superseded and only a resume may re-commit them."""
+        for _ in range(max_retries):
+            snap = self._current_snapshot()
+            base = self.committed_buckets()
+            clash = base & set(new_buckets)
+            if clash:
+                raise CommitConflictError(
+                    f"buckets {sorted(clash)} were committed by a concurrent "
+                    "writer; abandon this run and resume"
+                )
+            nxt = snap + 1
+            tmp = self.manifest_dir / f".snapshot-{nxt}.{os.getpid()}.tmp"
+            tmp.write_text(
+                json.dumps({
+                    "snapshot": nxt,
+                    "buckets": sorted(base | set(new_buckets)),
+                    "committed_at_chunk": new_buckets,
+                })
+            )
+            try:
+                os.link(tmp, self.manifest_dir / f"snapshot-{nxt}.json")
+            except FileExistsError:
+                tmp.unlink()
+                continue  # lost the id race — refresh the base and retry
+            tmp.unlink()
+            # best-effort hint pointer (truth is the max snapshot file)
+            ptr = self.manifest_dir / "current.tmp"
+            ptr.write_text(str(nxt))
+            os.replace(ptr, self.manifest_dir / "current")
+            return nxt
+        raise CommitConflictError(
+            f"lost the snapshot-id race {max_retries} times; giving up"
         )
-        tmp = self.manifest_dir / "current.tmp"
-        tmp.write_text(str(nxt))
-        os.replace(tmp, self.manifest_dir / "current")  # atomic pointer swap
-        return nxt
+
+    # ---------------- writer lock (advisory, serializes whole runs)
+
+    def _lock_path(self) -> Path:
+        return self.manifest_dir / "run.lock"
+
+    def _acquire_lock(self) -> None:
+        """O_EXCL writer lock so two :meth:`run`s on one table serialize or
+        fail CLEANLY before touching data.  A lock whose pid is dead is
+        stale (a SIGKILLed run — ``finally`` never fired) and is stolen;
+        :class:`ConcurrentWriteError` names the live holder otherwise."""
+        path = self._lock_path()
+        payload = f"{os.getpid()} {time.time()}"
+        for _ in range(2):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, payload.encode())
+                os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    holder = int(path.read_text().split()[0])
+                except (OSError, ValueError, IndexError):
+                    holder = None
+                alive = holder is not None and Path(f"/proc/{holder}").exists()
+                if alive:
+                    # our own pid is deliberately a conflict too: a second
+                    # concurrent run() in one driver process must fail
+                    # cleanly, not steal the first run's lock
+                    raise ConcurrentWriteError(
+                        f"another writer (pid {holder}) holds {path}; "
+                        "concurrent runs on one table are serialized"
+                    ) from None
+                path.unlink(missing_ok=True)  # stale (dead pid) — steal
+        raise ConcurrentWriteError(f"could not acquire {path}")
+
+    def _release_lock(self) -> None:
+        self._lock_path().unlink(missing_ok=True)
 
     # ---------------- resumable run
 
@@ -101,6 +199,19 @@ class PartitionedSink:
         crashed chunk's orphan metrics rows are superseded on resume and
         :meth:`metrics` reads each bucket's latest rows only.
         """
+        self._acquire_lock()
+        try:
+            return self._run_locked(pages, transform, fail_after_chunks, metrics_fn)
+        finally:
+            self._release_lock()
+
+    def _run_locked(
+        self,
+        pages: DataFrame,
+        transform: Callable[[DataFrame], DataFrame],
+        fail_after_chunks: int | None = None,
+        metrics_fn: Callable[[DataFrame], dict[str, DataFrame]] | None = None,
+    ) -> dict:
         spark = pages.sparkSession
         bucketed = pages.withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
