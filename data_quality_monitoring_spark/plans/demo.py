@@ -197,11 +197,18 @@ def single_sample_demo(
     key: str = "doc_id",
     max_issues_per_row: int = 2,
     issue_probability: float = 0.4,
+    probe_dirs=(),
 ) -> dict:
     """Full demo: derive catalog → inject → detect → consolidated report.
 
     Writes ``<out_dir>/cell_findings.parquet``, ``labels.parquet`` and
-    ``consolidated_report.json``; returns the report dict."""
+    ``consolidated_report.json``; returns the report dict.
+
+    ``probe_dirs``: model-artifact directories whose ``train_probe.json``
+    (written by ml-train / llm-train) is embedded under ``model_probes`` —
+    the reference shows training health in the consolidated report its
+    users actually read (consolidated_reporter.py:312-430), so a degraded
+    scorer is visible next to the detection metrics it affects."""
     catalog = build_catalog(pages, key) if "material" not in pages.columns else pages
     corrupted, labels = inject_catalog(
         catalog, key, max_issues_per_row=max_issues_per_row,
@@ -276,5 +283,10 @@ def single_sample_demo(
         combined["assessment"] = _assessment(combined["f1"])
         block["combined"] = combined
         report["per_field"][r["field"]] = block
+    from .probe import load_probe_reports
+
+    probes = load_probe_reports(probe_dirs)
+    if probes:
+        report["model_probes"] = probes
     (out / "consolidated_report.json").write_text(json.dumps(report, indent=1))
     return report

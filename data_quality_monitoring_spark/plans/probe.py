@@ -194,3 +194,46 @@ def probe_bigram(
         "threshold": threshold,
         "ok": bool(avg_anomaly > avg_normal and detection_rate >= 0.8),
     }
+
+
+def load_probe_reports(probe_dirs) -> dict:
+    """Collect ``train_probe.json`` artifacts from model-artifact
+    directories into one consolidated-report section (VERDICT r4 task 7).
+
+    The reference surfaces training health where its USERS look — the
+    consolidated demo / multi-eval reports (consolidated_reporter.py:
+    312-430) — not only next to the model files.  This helper is the
+    bridge: ``run_ml_train`` / ``run_llm_train`` drop ``train_probe.json``
+    beside each artifact; the demo/eval entry points pass those artifact
+    dirs here and embed the result under ``model_probes`` so a degraded
+    model is visible in the same JSON as the detection metrics it will
+    drag down.
+
+    Returns ``{}`` when nothing is found (the section is omitted, not
+    empty).  Each probe gains a human ``assessment`` derived from its own
+    ``ok`` verdict; ``_all_ok`` rolls them up for one-glance triage."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    probes: dict = {}
+    for d in probe_dirs or ():
+        p = _Path(d) / "train_probe.json"
+        if not p.exists():
+            continue
+        try:
+            rep = _json.loads(p.read_text())
+        except (OSError, ValueError):
+            probes[str(p)] = {"ok": False, "assessment": "UNREADABLE probe artifact"}
+            continue
+        name = rep.get("probe", p.parent.name)
+        rep = dict(rep)
+        rep["assessment"] = (
+            "healthy" if rep.get("ok") else "DEGRADED — retrain before shipping"
+        )
+        rep["artifact_dir"] = str(p.parent)
+        probes[name] = rep
+    if probes:
+        probes["_all_ok"] = all(
+            v.get("ok", False) for k, v in probes.items() if k != "_all_ok"
+        )
+    return probes

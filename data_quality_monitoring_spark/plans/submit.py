@@ -277,6 +277,13 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "model_training.py:400-563); 0 disables",
     )
     p.add_argument(
+        "--probe-dirs", nargs="*", default=None,
+        help="single-demo / multi-eval: model-artifact dirs whose "
+        "train_probe.json (written by ml-train / llm-train) is embedded "
+        "under model_probes in the consolidated report / evaluation "
+        "summary, so a degraded model is visible where the report is read",
+    )
+    p.add_argument(
         "--min-word-count", type=int, default=None,
         help="llm-train: floor on word counts before the per-language "
         "top-k vocab window — prunes the hapax tail off the sort task "
@@ -802,6 +809,7 @@ def run_single_demo(spark: SparkSession, args: argparse.Namespace) -> dict:
     return single_sample_demo(
         spark, pages, args.output, max_issues_per_row=args.max_issues_per_row,
         issue_probability=args.intensity,
+        probe_dirs=getattr(args, "probe_dirs", None) or (),
     )
 
 
@@ -820,6 +828,11 @@ def run_multi_eval(spark: SparkSession, args: argparse.Namespace) -> dict:
     summary = evaluation_summary(spark.read.parquet(f"{args.output}/per_sample_metrics"))
     from pathlib import Path
 
+    from .probe import load_probe_reports
+
+    probes = load_probe_reports(getattr(args, "probe_dirs", None) or ())
+    if probes:
+        summary["model_probes"] = probes
     Path(args.output, "evaluation_summary.json").write_text(json.dumps(summary, indent=1))
     return summary
 

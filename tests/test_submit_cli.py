@@ -813,3 +813,73 @@ def test_filter_mode_rep_gate(spark, tmp_path):
     assert both.filter(F.col("keep") != expect).count() == 0
     # the planted self-repetition triggers real drops
     assert g.filter("keep").count() < p.filter("keep_plain").count()
+
+
+def test_probe_reports_surface_in_consolidated_reports(spark, tmp_path):
+    """VERDICT r4 task 7: train_probe.json artifacts (written by
+    ml-train/llm-train) surface under model_probes in the single-demo
+    consolidated report and the multi-eval summary — a degraded model is
+    visible where the reference's users actually look."""
+    import json
+
+    import pandas as pd
+
+    from data_quality_monitoring_spark.artifacts import training_texts
+    from data_quality_monitoring_spark.plans.submit import (
+        run_llm_train,
+        run_multi_eval,
+        run_single_demo,
+    )
+
+    rows = [(t, lang) for lang in ("en", "de") for t in training_texts(lang, 15)]
+    train_in = str(tmp_path / "train_in")
+    spark.createDataFrame(pd.DataFrame(rows, columns=["text", "lang"])).write.parquet(train_in)
+    llm_dir = tmp_path / "llm_out"
+    run_llm_train(spark, build_args(
+        ["--mode", "llm-train", "--input", train_in, "--output", str(llm_dir)]
+    ))
+    assert (llm_dir / "train_probe.json").exists()  # healthy probe artifact
+
+    # a deliberately-degraded artifact next to it
+    bad_dir = tmp_path / "bad_model"
+    bad_dir.mkdir()
+    (bad_dir / "train_probe.json").write_text(json.dumps(
+        {"probe": "langid", "ok": False, "recall": 0.1, "precision": 0.2}
+    ))
+
+    in_dir = str(tmp_path / "in")
+    generate_pages(spark, 160, partitions=4).write.parquet(in_dir)
+    report = run_single_demo(spark, build_args(
+        ["--mode", "single-demo", "--input", in_dir,
+         "--output", str(tmp_path / "demo_out"),
+         "--probe-dirs", str(llm_dir), str(bad_dir)]
+    ))
+    probes = report["model_probes"]
+    assert probes["bigram_lm"]["ok"] is True
+    assert probes["bigram_lm"]["assessment"] == "healthy"
+    assert probes["langid"]["ok"] is False
+    assert "DEGRADED" in probes["langid"]["assessment"]
+    assert probes["_all_ok"] is False
+    on_disk = json.loads(
+        (tmp_path / "demo_out" / "consolidated_report.json").read_text()
+    )
+    assert on_disk["model_probes"] == probes
+
+    summary = run_multi_eval(spark, build_args(
+        ["--mode", "multi-eval", "--input", in_dir,
+         "--output", str(tmp_path / "eval_out"), "--n-samples", "2",
+         "--probe-dirs", str(llm_dir)]
+    ))
+    assert summary["model_probes"]["bigram_lm"]["ok"] is True
+    assert summary["model_probes"]["_all_ok"] is True
+    on_disk = json.loads(
+        (tmp_path / "eval_out" / "evaluation_summary.json").read_text()
+    )
+    assert on_disk["model_probes"]["bigram_lm"]["assessment"] == "healthy"
+
+    # without the flag the section is omitted, not empty
+    report2 = run_single_demo(spark, build_args(
+        ["--mode", "single-demo", "--input", in_dir,
+         "--output", str(tmp_path / "demo_out2")]
+    ))
+    assert "model_probes" not in report2
