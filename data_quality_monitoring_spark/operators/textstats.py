@@ -52,33 +52,82 @@ def char_class_ratios(col: Column) -> dict[str, Column]:
     }
 
 
-def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
-    ws = words(F.lower(col))
+def stopword_ratio(
+    col: Column,
+    stopwords: list[str] | None = None,
+    *,
+    lwords_col: Column | None = None,
+) -> Column:
+    """``lwords_col``: pass a pre-materialized lowercased-words array to
+    skip the split (interpreted HOF lambdas are not CSE'd — the staged
+    two-projection lesson from gopher_gate_df)."""
+    ws = words(F.lower(col)) if lwords_col is None else lwords_col
     stops = F.lit(stopwords or DEFAULT_STOPWORDS).cast("array<string>")
     hits = F.size(F.filter(ws, lambda w: F.array_contains(stops, w)))
     return F.when(F.size(ws) > 0, hits / F.size(ws))
 
 
-def distinct_word_ratio(col: Column) -> Column:
-    ws = words(col)
+def distinct_word_ratio(col: Column, *, words_col: Column | None = None) -> Column:
+    ws = words(col) if words_col is None else words_col
     return F.when(
         F.size(ws) > 0, F.size(F.array_distinct(F.transform(ws, F.lower))) / F.size(ws)
     )
 
 
-def quality_score(col: Column, stopwords: list[str] | None = None) -> Column:
+def quality_score(
+    col: Column,
+    stopwords: list[str] | None = None,
+    *,
+    words_col: Column | None = None,
+    lwords_col: Column | None = None,
+) -> Column:
     """Composite [0,1] quality score: weighted blend of alpha ratio,
     stopword ratio, distinct-word ratio and a length factor — the C4/Gopher
-    style scalar a downstream sampler can threshold or weight by."""
+    style scalar a downstream sampler can threshold or weight by.
+
+    The single-Column form re-splits the text once per signal (the HOF
+    lambdas inside are interpreted, so Catalyst cannot CSE the shared
+    split); ``words_col`` / ``lwords_col`` take pre-materialized arrays —
+    use :func:`quality_score_df`, which stages them in one projection the
+    way :func:`gopher_gate_df` does."""
     ratios = char_class_ratios(col)
-    length_factor = F.least(token_count(col) / F.lit(100.0), F.lit(1.0))
+    ws = words(col) if words_col is None else words_col
+    length_factor = F.least(F.size(ws) / F.lit(100.0), F.lit(1.0))
     score = (
         0.3 * F.coalesce(ratios["alpha_ratio"], F.lit(0.0))
-        + 0.25 * F.coalesce(stopword_ratio(col, stopwords), F.lit(0.0))
-        + 0.25 * F.coalesce(distinct_word_ratio(col), F.lit(0.0))
+        + 0.25 * F.coalesce(
+            stopword_ratio(col, stopwords, lwords_col=lwords_col), F.lit(0.0)
+        )
+        + 0.25 * F.coalesce(distinct_word_ratio(col, words_col=ws), F.lit(0.0))
         + 0.2 * length_factor
     )
     return F.when(col.isNotNull(), F.round(score, 6))
+
+
+def quality_score_df(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "quality",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Two-stage DataFrame form of :func:`quality_score`: one projection
+    materializes the words / lowercased-words arrays, the next computes
+    the blend from them — the text splits twice total instead of once per
+    signal (the staged-projection pattern measured 1.5-2.0x on the gopher
+    gate; see BENCH.md for this operator's A/B row)."""
+    text = F.col(text_col)
+    staged = df.withColumns({
+        "_qs_ws": words(text),
+        "_qs_lws": words(F.lower(text)),
+    })
+    out = staged.withColumn(
+        out_col,
+        quality_score(
+            text, stopwords,
+            words_col=F.col("_qs_ws"), lwords_col=F.col("_qs_lws"),
+        ),
+    )
+    return out.drop("_qs_ws", "_qs_lws")
 
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

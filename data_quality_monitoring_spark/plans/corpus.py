@@ -80,11 +80,12 @@ def build_corpus(
     comp = connected_components(pairs, "a", "b")
     if keep_best:
         from ..operators.dedup import component_keep_best
-        from ..operators.textstats import quality_score
+        from ..operators.textstats import quality_score_df
 
-        scored = deduped.select(
-            "url", quality_score(F.col("text_scrubbed")).alias("_q")
-        )
+        # staged form: splits the text 2x total, not once per signal
+        scored = quality_score_df(
+            deduped, "text_scrubbed", out_col="_q"
+        ).select("url", "_q")
         losers = (
             component_keep_best(comp, scored, "url", "_q")
             .filter(~F.col("is_retained"))
