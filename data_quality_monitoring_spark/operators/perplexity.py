@@ -445,8 +445,10 @@ def perplexity_buckets(
     thinks about it cannot accidentally ship the per-language global sort
     to a 100-TB run (one language is half the corpus there; percent_rank
     would serialize it through single task chains).  The cutoff check is
-    one extra count() over the scored frame; pass an explicit mode to skip
-    it.  The contract oracle pins ``mode="rank"`` explicitly.
+    a ``limit(rank_cutoff+1).count()`` probe — CollectLimit stops scanning
+    once the cutoff is exceeded, so it costs O(rank_cutoff) rows even on a
+    10^12-row corpus; pass an explicit mode to skip even that.  The
+    contract oracle pins ``mode="rank"`` explicitly.
 
     NULL scores (empty/unscorable docs) are excluded from the window and
     labeled ``unscored`` — deterministic in every engine regardless of its
@@ -458,7 +460,12 @@ def perplexity_buckets(
         F.col(id_col), F.col(score_col), key
     )
     if mode == "auto":
-        mode = "rank" if nn.count() <= rank_cutoff else "threshold"
+        # bounded probe: CollectLimit stops scanning once cutoff+1 scored
+        # rows exist, so the mode decision costs O(rank_cutoff) rows, not a
+        # full pass over the corpus (which would re-run the scoring UDF on
+        # every row just to pick a strategy)
+        probe = nn.select(id_col).limit(rank_cutoff + 1).count()
+        mode = "rank" if probe <= rank_cutoff else "threshold"
     if mode == "rank":
         w = Window.partitionBy("_bl").orderBy(F.col(score_col).asc(), F.col(id_col).asc())
         ranked = nn.select(id_col, F.percent_rank().over(w).alias("_pr"))

@@ -84,7 +84,59 @@ SHOW = [
     "tfidf_terms",
     "centroid_similarity",
     "events_hourly",
+    # round 5: full coverage — every registry query has a PLANS.md entry
+    "rule_fire_counts",
+    "pattern_lang",
+    "token_stats",
+    "multimodal_meta",
+    "profile_value_counts",
+    "dedup_exact",
+    "keyword_check",
+    "lang_distribution",
+    "quality_score",
+    "window_running_sum",
+    "events_rollup",
+    "events_json",
+    "topk_per_group",
+    "profile_stats",
+    "token_bpeish",
+    "fingerprint",
+    "lang_heuristic",
 ]
+
+
+# why the multi-Exchange plans are the plans we'd WANT at 100 TB — every
+# shuffle below is keyed, map-side combined, and load-bearing; none is an
+# accident of expression order (queries with a persisted intermediate also
+# re-count the cached subtree once per consumer — see the cache fact line)
+NOTES = {
+    "dedup_minhash": "banded LSH needs exactly these keyed stages: band→bucket "
+    "group for candidates, then pair-level dedup agg; no all-pairs join anywhere",
+    "dedup_jaccard": "real stages = minhash banding + bucket group + verify "
+    "join; the count is inflated by the cached candidate subtree being "
+    "re-counted per consumer (executes once)",
+    "line_dedup": "C4 cross-doc line dedup: explode lines → group on line hash "
+    "(the only way to see a line's global count) → join survivors back",
+    "confusion_matrix": "labels⋈detections key join + overall/per-field/"
+    "per-method rollup aggs — each a distinct grouping key, each combined map-side",
+    "skew_salted_stats": "the extra Exchange per agg IS the feature: two-phase "
+    "salted aggregation (partial on (key,salt), final on key) spreads one hot "
+    "source over 16 reducers",
+    "corpus_mixture": "per-source count agg (2-phase partial/final) + broadcast "
+    "budget join + budgeted resample — counts table is O(n_sources)",
+    "fuzzy_decontamination": "n-gram shingles on the corpus side are grouped "
+    "and joined against the BROADCAST eval side, then overlap-aggregated per "
+    "(doc, eval) pair; corpus never self-joins",
+    "dsir_sample": "range-partition rank + offset join (replaced the global "
+    "window, VERDICT r3 task 9); the count re-counts the cached scored subtree "
+    "per consumer (executes once)",
+    "tfidf_terms": "term explode → doc-frequency agg (vocabulary-sized, not "
+    "corpus-sized) → broadcast idf join → per-doc top-k window partitioned by "
+    "doc_id (never global)",
+    "centroid_similarity": "posexplode → per-(label,pos) avg → per-label "
+    "centroid assembly, then member-to-centroid cosine agg — all keyed by "
+    "label; centroid table is O(n_labels)",
+}
 
 
 def formatted_plan(df) -> str:
@@ -150,6 +202,8 @@ def main() -> None:
         out.append(f"\n## {name}\n")
         for fact in summarize(plan):
             out.append(f"- {fact}")
+        if name in NOTES:
+            out.append(f"- why the shuffles: {NOTES[name]}")
         out.append("")
     (REPO / "PLANS.md").write_text("\n".join(out) + "\n")
     print(f"wrote PLANS.md ({len(SHOW)} queries)")
