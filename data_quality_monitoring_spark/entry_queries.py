@@ -2817,6 +2817,106 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(scored, mode="rank").select("doc_id", "ppl", "ppl_bucket")
 
 
+# Hyperparameter-sweep contract grid: 3 lam × 2 k × 3 threshold = 18
+# configs, enumerated in product order (config_id = index, matching the
+# reference's trial order for its earliest-wins tie-break).
+_HP_LAMS = (0.5, 0.7, 0.9)
+_HP_KS = (0.1, 0.5)
+_HP_THRESHOLDS = (3.4, 3.6, 3.8)
+_HP_CONFIGS = [(l, k, t) for l in _HP_LAMS for k in _HP_KS for t in _HP_THRESHOLDS]
+_hp_var_ix: dict = {}
+for _l, _k, _t in _HP_CONFIGS:
+    _hp_var_ix.setdefault((_l, _k), len(_hp_var_ix))
+_HP_VARS_SQL = ", ".join(
+    f"({i}, {l}::DOUBLE, {k}::DOUBLE)" for (l, k), i in _hp_var_ix.items()
+)
+_HP_CFG_SQL = ", ".join(
+    f"({i}, {_hp_var_ix[(l, k)]}, {l}::DOUBLE, {k}::DOUBLE, {t}::DOUBLE)"
+    for i, (l, k, t) in enumerate(_HP_CONFIGS)
+)
+
+
+def q_hp_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed hyperparameter sweep over the bigram-LM detector —
+    FULLY ORACLED (the reference's hyperparameter search,
+    ml_based/hyperparameter_search.py:204-384, rebuilt Spark-first).
+
+    Truth labels: a document is anomalous iff it lies OUTSIDE the LM's
+    training domain (``n_chars < 300`` — exactly the slice excluded from
+    training), i.e. the label the perplexity detector is designed to
+    recover, so the sweep's precision/recall trade-off is real: thresholds
+    inside the score distribution separate the domains, thresholds outside
+    collapse to all-negative.  The LM trains ONCE on the clean long slice;
+    all 6 (lam, k) scoring
+    variants are computed in a single Arrow pass sharing one tokenization
+    (BigramLM.nll_variants), crossed with 3 thresholds relationally, and
+    all 18 configs are evaluated in one map-side-combined aggregation —
+    precision/recall/F1 per config, the reference's precision ≥ 0.3
+    validity constraint, and best-by-recall with earliest-config
+    tie-break.  DuckDB recomputes the full train + 6-variant score + 18
+    confusion matrices relationally."""
+    from .operators.hpo import evaluate_bigram_configs
+
+    d = _read(spark, sf_dir, "documents")
+    docs = d.withColumn("truth_bad", F.col("n_chars") < 300)
+    return evaluate_bigram_configs(
+        spark, docs, _HP_CONFIGS, train_filter=F.col("n_chars") >= 300
+    )
+
+
+SQL_HP_SWEEP = f"""
+WITH {_SQL_PPL_CTES},
+vars AS (SELECT * FROM (VALUES {_HP_VARS_SQL}) AS v(var_id, lam, kk)),
+cfg AS (SELECT * FROM (VALUES {_HP_CFG_SQL}) AS c(config_id, var_id, lam, kk, threshold)),
+tokv AS (
+  SELECT scb.doc_id, v.var_id, scb.n_toks,
+         -ln(v.lam * (CASE WHEN coalesce(ctx.c, 0) > 0
+                           THEN coalesce(bi.c, 0) / ctx.c ELSE 0.0 END)
+             + (1.0 - v.lam) * ((coalesce(wrd.c, 0) + v.kk) / (nt.n + v.kk * 10000))) AS nll
+  FROM scb
+  CROSS JOIN vars v
+  JOIN nt ON nt.lang = scb.g
+  LEFT JOIN bi  ON bi.lang = scb.g AND bi.prev = scb.prev AND bi.cur = scb.cur
+  LEFT JOIN ctx ON ctx.lang = scb.g AND ctx.prev = scb.prev
+  LEFT JOIN wrd ON wrd.lang = scb.g AND wrd.cur = scb.cur
+),
+pplv AS (SELECT doc_id, var_id, round(sum(nll) / any_value(n_toks), 6) AS ppl
+         FROM tokv GROUP BY doc_id, var_id),
+truth AS (SELECT doc_id, n_chars < 300 AS bad FROM documents),
+tot AS (SELECT count(*) FILTER (bad) AS n_bad FROM truth),
+hits AS (
+  SELECT c.config_id,
+         count(*) FILTER (p.ppl > c.threshold AND t.bad) AS tp,
+         count(*) FILTER (p.ppl > c.threshold AND NOT t.bad) AS fp
+  FROM cfg c
+  LEFT JOIN pplv p ON p.var_id = c.var_id
+  LEFT JOIN truth t ON t.doc_id = p.doc_id
+  GROUP BY c.config_id
+),
+m AS (
+  SELECT c.config_id, c.lam, c.kk AS k, c.threshold,
+         coalesce(h.tp, 0)::BIGINT AS tp, coalesce(h.fp, 0)::BIGINT AS fp,
+         (tot.n_bad - coalesce(h.tp, 0))::BIGINT AS fn,
+         round(CASE WHEN coalesce(h.tp, 0) + coalesce(h.fp, 0) > 0
+                    THEN coalesce(h.tp, 0)::DOUBLE / (coalesce(h.tp, 0) + coalesce(h.fp, 0))
+                    ELSE 0.0 END, 6) AS prec,
+         round(CASE WHEN tot.n_bad > 0
+                    THEN coalesce(h.tp, 0)::DOUBLE / tot.n_bad ELSE 0.0 END, 6) AS rec
+  FROM cfg c LEFT JOIN hits h ON h.config_id = c.config_id CROSS JOIN tot
+),
+f AS (
+  SELECT *,
+         round(CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec)
+                    ELSE 0.0 END, 6) AS f1,
+         prec >= 0.3 AS valid
+  FROM m
+)
+SELECT config_id, lam, k, threshold, tp, fp, fn, prec, rec, f1, valid,
+       valid AND rank() OVER (ORDER BY valid DESC, rec DESC, config_id ASC) = 1 AS is_best
+FROM f
+"""
+
+
 def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style learned quality posterior P(good|text) — FULLY ORACLED.
 
@@ -4081,6 +4181,10 @@ QUERIES = {
     "perplexity_scores": q_perplexity_scores,
     "perplexity_trigram": q_perplexity_trigram,
     "perplexity_buckets": q_perplexity_buckets,
+    # round 5: the reference's hyperparameter search, Spark-first (train
+    # once, score every variant in one Arrow pass) — new query, needs its
+    # first driver row
+    "hp_sweep": q_hp_sweep,
     "llm_tier_verdict": q_llm_tier_verdict,
     "pipeline_verdict": q_pipeline_verdict,
     "pipeline_verdict_full": q_pipeline_verdict_full,
@@ -4186,6 +4290,7 @@ ORACLES = {
     "langid_scores": SQL_LANGID_SCORES,
     "perplexity_scores": SQL_PERPLEXITY_SCORES,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
+    "hp_sweep": SQL_HP_SWEEP,
     "url_canonical": SQL_URL_CANONICAL,
     "host_pagerank": SQL_HOST_PAGERANK,
     "host_quality": SQL_HOST_QUALITY,

@@ -96,6 +96,40 @@ class BigramLM:
         nlls = -np.log(self.lam * p_bi + (1.0 - self.lam) * p_uni)
         return float(nlls.sum() / len(ids))
 
+    def nll_variants(self, text: str, lams: np.ndarray, ks: np.ndarray) -> np.ndarray:
+        """Mean NLL under K (lam, k) hyperparameter variants SHARING one
+        tokenization and one count lookup — the hyperparameter-sweep hot
+        path (operators/hpo.py).  The count statistics are hyperparameter-
+        free; lam/k only reshape the closed-form arithmetic over them, so K
+        configs cost ~1× the work of one (a (K, T) numpy broadcast instead
+        of K sequential retrains, which is what the reference does:
+        ml_based/hyperparameter_search.py:249-264)."""
+        toks = _tokens(text)
+        if not toks:
+            return np.full(len(lams), ERROR_SCORE)
+        ids = np.fromiter(
+            (self.vocab.get(t, UNK_ID) for t in toks), dtype=np.int64, count=len(toks)
+        )
+        prev = np.empty_like(ids)
+        prev[0] = self.vocab.get(BOS, UNK_ID)
+        prev[1:] = ids[:-1]
+        keys = prev * self._v + ids
+        if len(self._bi_keys):
+            pos = np.minimum(
+                np.searchsorted(self._bi_keys, keys), len(self._bi_keys) - 1
+            )
+            c_bi = np.where(self._bi_keys[pos] == keys, self._bi_vals[pos], 0.0)
+        else:
+            c_bi = np.zeros(len(ids), dtype=np.float64)
+        c_prev = self.ctx[prev]
+        p_bi = np.divide(c_bi, c_prev, out=np.zeros_like(c_bi), where=c_prev > 0)
+        c_w = self.word[ids]
+        lam_c = lams[:, None]
+        k_c = ks[:, None]
+        p_uni = (c_w[None, :] + k_c) / (self.n_tokens + k_c * self.v_smooth)
+        nlls = -np.log(lam_c * p_bi[None, :] + (1.0 - lam_c) * p_uni)
+        return nlls.sum(axis=1) / len(ids)
+
 
 def train_bigram(texts: list[str], max_vocab: int = 50_000, k: float = 0.5) -> BigramLM:
     """Count-based training (deterministic, closed form)."""

@@ -38,8 +38,8 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--mode",
         choices=["filter", "corpus", "incremental", "single-demo", "multi-eval",
-                 "ml-curves", "ml-train", "llm-train", "analyze-column",
-                 "host-stats", "link-graph"],
+                 "ml-curves", "ml-train", "llm-train", "hp-search",
+                 "analyze-column", "host-stats", "link-graph"],
         default="filter",
         help="filter = resumable quality filter (default); corpus = filter "
         "+ dedup battery + optional sampling → final training corpus; "
@@ -282,6 +282,16 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "train_probe.json (written by ml-train / llm-train) is embedded "
         "under model_probes in the consolidated report / evaluation "
         "summary, so a degraded model is visible where the report is read",
+    )
+    p.add_argument(
+        "--hp-trials", type=int, default=15,
+        help="hp-search: number of random trials (reference "
+        "hyperparameter_search.py num_trials=15)",
+    )
+    p.add_argument(
+        "--hp-seed", type=int, default=0,
+        help="hp-search: RNG seed for the per-parameter random draws — "
+        "(space, trials, seed) fully determines the search",
     )
     p.add_argument(
         "--min-word-count", type=int, default=None,
@@ -773,6 +783,45 @@ def run_llm_train(spark: SparkSession, args: argparse.Namespace) -> dict:
     return summary
 
 
+def run_hp_search(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """hp-search (reference ml_based/hyperparameter_search.py:204-384):
+    seeded random search over the LM-detector space, evaluated against
+    injection labels — the reference's inject→train→score loop, except
+    training happens ONCE and every sampled config is scored in one Arrow
+    pass (operators/hpo.py).  Writes the reference-shaped results JSON
+    (best_params / all_results / performance_analysis)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from ..operators.hpo import hp_search
+    from ..operators.injection import inject_column
+
+    pages = spark.read.parquet(args.input)
+    inj = inject_column(
+        F.col("text"), F.col("url"), _text_injection_rules(), args.intensity, "hp"
+    )
+    docs = (
+        pages.withColumn("_inj", inj)
+        .withColumn("truth_bad", F.col("_inj.rule_name").isNotNull())
+        .withColumn("text", F.coalesce(F.col("_inj.corrupted"), F.col("text")))
+        .drop("_inj")
+    )
+    report = hp_search(
+        spark,
+        docs,
+        n_trials=args.hp_trials,
+        seed=args.hp_seed,
+        # the LM must model CLEAN text; corrupted rows stay out of training
+        train_filter=~F.col("truth_bad"),
+    )
+    Path(args.output).mkdir(parents=True, exist_ok=True)
+    Path(args.output, "hp_search_results.json").write_text(
+        json.dumps(report, indent=1)
+    )
+    return report
+
+
 def run_analyze_column(spark: SparkSession, args: argparse.Namespace) -> dict:
     """analyze-column (reference main.py → analyze_column.py:140-158):
     the profiling flow through the same dispatcher."""
@@ -1035,6 +1084,7 @@ _MODES = {
     "ml-curves": run_ml_curves,
     "ml-train": run_ml_train,
     "llm-train": run_llm_train,
+    "hp-search": run_hp_search,
     "analyze-column": run_analyze_column,
     "host-stats": run_host_stats,
     "link-graph": run_link_graph,
