@@ -102,6 +102,7 @@ SHOW = [
     "token_bpeish",
     "fingerprint",
     "lang_heuristic",
+    "hp_sweep",
 ]
 
 
@@ -136,6 +137,10 @@ NOTES = {
     "centroid_similarity": "posexplode → per-(label,pos) avg → per-label "
     "centroid assembly, then member-to-centroid cosine agg — all keyed by "
     "label; centroid table is O(n_labels)",
+    "hp_sweep": "one Arrow pass scores ALL (lam,k) variants (shared "
+    "tokenization), broadcast O(K) config join on the corpus side, one "
+    "map-side-combined groupBy(config_id); the remaining joins/window act "
+    "on K=18 rows only",
 }
 
 
