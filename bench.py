@@ -75,6 +75,7 @@ HEADLINE = [
     "c4_clean",  # C4 line-level cleaner, pure codegen (round 4)
     "dedup_keep_best",  # quality-priority cluster retention (round 4)
     "gopher_repetition",  # full Gopher repetition family, 1 Arrow pass (round 4)
+    "hp_sweep",  # 18-config hyperparameter sweep, train-once one-pass (round 5)
 ]
 
 
