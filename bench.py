@@ -76,6 +76,7 @@ HEADLINE = [
     "dedup_keep_best",  # quality-priority cluster retention (round 4)
     "gopher_repetition",  # full Gopher repetition family, 1 Arrow pass (round 4)
     "hp_sweep",  # 18-config hyperparameter sweep, train-once one-pass (round 5)
+    "hp_sweep_ml",  # ML-slot (NB alpha) sweep, shared count aggregation (round 5)
 ]
 
 

@@ -2917,6 +2917,46 @@ FROM f
 """
 
 
+# ML-slot sweep grid: 3 NB smoothing alphas × 3 posterior thresholds.
+# The 2-class word-NB posterior saturates toward 1.0 on long documents
+# (hundreds of word-likelihood factors), so the discriminative band is
+# 0.96–1.0 — thresholds live there, not at 0.5.
+_HP_ALPHAS = (0.1, 0.5, 2.0)
+_HP_ML_THRESHOLDS = (0.99, 0.996, 0.9995)
+_HP_ML_CONFIGS = [(a, t) for a in _HP_ALPHAS for t in _HP_ML_THRESHOLDS]
+_HP_ML_VARS_SQL = ", ".join(
+    f"({i}, {a}::DOUBLE)" for i, a in enumerate(_HP_ALPHAS)
+)
+_HP_ML_CFG_SQL = ", ".join(
+    f"({i}, {_HP_ALPHAS.index(a)}, {a}::DOUBLE, {t}::DOUBLE)"
+    for i, (a, t) in enumerate(_HP_ML_CONFIGS)
+)
+
+
+def q_hp_sweep_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperparameter sweep over the ML-slot detector — FULLY ORACLED.
+
+    The reference's search actually targets its ML detector
+    (ml_based/hyperparameter_search.py trains a sentence-transformer
+    variant per trial); here the ML slot is the 2-class NB quality model
+    (q_quality_model_scores, itself hash-green).  Truth labels = the
+    first-hit rule chain (bad iff any rule fires) — the same labels the
+    model trains on, so the sweep measures distillation fidelity.  The
+    count matrix is hyperparameter-free: ONE distributed aggregation
+    (train_langid_counts), K = 3 alpha weight matrices folded driver-side,
+    all 3 scored in one Arrow pass, 3 thresholds crossed relationally, 9
+    configs evaluated in one map-side-combined aggregation.  A document is
+    flagged when P(good|text) < threshold.  DuckDB recomputes training
+    counts, the per-alpha posteriors and all 9 confusion matrices."""
+    from .operators.hpo import evaluate_nb_quality_configs
+
+    d = _read(spark, sf_dir, "documents")
+    docs = d.withColumn("truth_bad", _firsthit_code(F.col("text")).isNotNull())
+    return evaluate_nb_quality_configs(spark, docs, _HP_ML_CONFIGS)
+
+
+
+
 def q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style learned quality posterior P(good|text) — FULLY ORACLED.
 
@@ -2972,6 +3012,75 @@ SQL_QUALITY_MODEL_SCORES = (
     )
     + ")"
 )
+
+
+SQL_HP_SWEEP_ML = f"""
+WITH tr AS ({_QUALITY_TRAIN_CTE}),
+tw AS (
+  SELECT lang, {_MD5_BUCKET_SQL.format(w="w")} AS b
+  FROM (SELECT lang, unnest(toks) AS w FROM tr)
+), cnt AS (SELECT lang, b, count(*)::DOUBLE AS c FROM tw GROUP BY lang, b),
+tot AS (SELECT lang, count(*)::DOUBLE AS t FROM tw GROUP BY lang),
+pri AS (
+  SELECT lang, ln(nd / sum(nd) OVER ()) AS lp
+  FROM (SELECT lang, count(*)::DOUBLE AS nd FROM tr GROUP BY lang)
+), db AS (
+  SELECT doc_id, {_MD5_BUCKET_SQL.format(w="w")} AS b, count(*)::DOUBLE AS n
+  FROM (SELECT doc_id, unnest({_PYWORDS_SQL.format(c="text")}) AS w FROM documents)
+  GROUP BY doc_id, b
+),
+vars AS (SELECT * FROM (VALUES {_HP_ML_VARS_SQL}) AS v(var_id, alpha)),
+cfg AS (SELECT * FROM (VALUES {_HP_ML_CFG_SQL}) AS c(config_id, var_id, alpha, threshold)),
+lp AS (
+  SELECT db.doc_id, v.var_id, pri.lang,
+         any_value(pri.lp)
+         + sum(db.n * (ln(coalesce(cnt.c, 0) + v.alpha) - ln(tot.t + v.alpha * 16384))) AS logp
+  FROM db
+  CROSS JOIN vars v
+  CROSS JOIN pri
+  JOIN tot ON tot.lang = pri.lang
+  LEFT JOIN cnt ON cnt.lang = pri.lang AND cnt.b = db.b
+  GROUP BY db.doc_id, v.var_id, pri.lang
+), post AS (
+  SELECT doc_id, var_id, lang, e / sum(e) OVER (PARTITION BY doc_id, var_id) AS p
+  FROM (SELECT doc_id, var_id, lang,
+               exp(logp - max(logp) OVER (PARTITION BY doc_id, var_id)) AS e
+        FROM lp)
+),
+pg AS (SELECT doc_id, var_id, round(p, 6) AS p_good FROM post WHERE lang = 'good'),
+truth AS (SELECT doc_id, code != 'PASS' AS bad FROM ({SQL_RULE_FIRSTHIT})),
+tot2 AS (SELECT count(*) FILTER (bad) AS n_bad FROM truth),
+hits AS (
+  SELECT c.config_id,
+         count(*) FILTER (p.p_good < c.threshold AND t.bad) AS tp,
+         count(*) FILTER (p.p_good < c.threshold AND NOT t.bad) AS fp
+  FROM cfg c
+  LEFT JOIN pg p ON p.var_id = c.var_id
+  LEFT JOIN truth t ON t.doc_id = p.doc_id
+  GROUP BY c.config_id
+),
+m AS (
+  SELECT c.config_id, c.alpha, c.threshold,
+         coalesce(h.tp, 0)::BIGINT AS tp, coalesce(h.fp, 0)::BIGINT AS fp,
+         (tot2.n_bad - coalesce(h.tp, 0))::BIGINT AS fn,
+         round(CASE WHEN coalesce(h.tp, 0) + coalesce(h.fp, 0) > 0
+                    THEN coalesce(h.tp, 0)::DOUBLE / (coalesce(h.tp, 0) + coalesce(h.fp, 0))
+                    ELSE 0.0 END, 6) AS prec,
+         round(CASE WHEN tot2.n_bad > 0
+                    THEN coalesce(h.tp, 0)::DOUBLE / tot2.n_bad ELSE 0.0 END, 6) AS rec
+  FROM cfg c LEFT JOIN hits h ON h.config_id = c.config_id CROSS JOIN tot2
+),
+f AS (
+  SELECT *,
+         round(CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec)
+                    ELSE 0.0 END, 6) AS f1,
+         prec >= 0.3 AS valid
+  FROM m
+)
+SELECT config_id, alpha, threshold, tp, fp, fn, prec, rec, f1, valid,
+       valid AND rank() OVER (ORDER BY valid DESC, rec DESC, config_id ASC) = 1 AS is_best
+FROM f
+"""
 
 
 def q_pipeline_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4185,6 +4294,7 @@ QUERIES = {
     # once, score every variant in one Arrow pass) — new query, needs its
     # first driver row
     "hp_sweep": q_hp_sweep,
+    "hp_sweep_ml": q_hp_sweep_ml,
     "llm_tier_verdict": q_llm_tier_verdict,
     "pipeline_verdict": q_pipeline_verdict,
     "pipeline_verdict_full": q_pipeline_verdict_full,
@@ -4291,6 +4401,7 @@ ORACLES = {
     "perplexity_scores": SQL_PERPLEXITY_SCORES,
     "perplexity_buckets": SQL_PERPLEXITY_BUCKETS,
     "hp_sweep": SQL_HP_SWEEP,
+    "hp_sweep_ml": SQL_HP_SWEEP_ML,
     "url_canonical": SQL_URL_CANONICAL,
     "host_pagerank": SQL_HOST_PAGERANK,
     "host_quality": SQL_HOST_QUALITY,

@@ -51,6 +51,7 @@ __all__ = [
     "sample_configs",
     "bigram_variant_scores",
     "evaluate_bigram_configs",
+    "evaluate_nb_quality_configs",
     "hp_parameter_analysis",
     "hp_search",
 ]
@@ -166,10 +167,33 @@ def evaluate_bigram_configs(
     # The outer form needs no filter — one ArrowEvalPython node — and its
     # extra null-var_id rows (unscorable docs) drop in the inner config
     # join below, so semantics are identical.
-    long = docs.select(F.col(label_col).alias("_bad"), arr.alias("_ppl")).select(
-        "_bad", F.posexplode_outer("_ppl").alias("var_id", "ppl")
+    long = docs.select(F.col(label_col).alias("_bad"), arr.alias("_s")).select(
+        "_bad", F.posexplode_outer("_s").alias("var_id", "score")
     )
-    pred = F.col("ppl").isNotNull() & (F.col("ppl") > F.col("threshold"))
+    return _evaluate_long(
+        docs, long, cfg, label_col, ["lam", "k", "threshold"], flag_when="above"
+    )
+
+
+def _evaluate_long(
+    docs: DataFrame,
+    long: DataFrame,
+    cfg: DataFrame,
+    label_col: str,
+    param_cols: list[str],
+    flag_when: str = "above",
+) -> DataFrame:
+    """Shared evaluation tail: per-config confusion counts from the
+    long-form (var_id, score, _bad) rows, the reference's precision ≥ 0.3
+    validity constraint, and best-by-recall with earliest-config
+    tie-break.  ``flag_when="above"`` predicts anomalous when
+    score > threshold (perplexity); ``"below"`` when score < threshold
+    (quality posterior).  Unscorable docs (null score) can never be
+    predicted positive, so they reach fn/tn through the n_bad/n_docs
+    totals without a doc×config cross join."""
+    over = F.col("score") > F.col("threshold")
+    under = F.col("score") < F.col("threshold")
+    pred = F.col("score").isNotNull() & (over if flag_when == "above" else under)
     agg = (
         long.join(F.broadcast(cfg), "var_id")
         .groupBy("config_id")
@@ -187,9 +211,7 @@ def evaluate_bigram_configs(
         .crossJoin(F.broadcast(totals))
         .select(
             "config_id",
-            "lam",
-            "k",
-            "threshold",
+            *param_cols,
             F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
             F.coalesce("fp", F.lit(0)).cast("long").alias("fp"),
             "n_bad",
@@ -206,9 +228,7 @@ def evaluate_bigram_configs(
     )
     res = res.select(
         "config_id",
-        "lam",
-        "k",
-        "threshold",
+        *param_cols,
         "tp",
         "fp",
         "fn",
@@ -230,6 +250,98 @@ def evaluate_bigram_configs(
     )
     return res.withColumn(
         "is_best", F.col("valid") & (F.rank().over(w) == 1)
+    )
+
+
+def evaluate_nb_quality_configs(
+    spark: SparkSession,
+    docs: DataFrame,
+    configs: list[tuple[float, float]],
+    text_col: str = "text",
+    label_col: str = "truth_bad",
+) -> DataFrame:
+    """The ML-slot analogue of :func:`evaluate_bigram_configs` — the
+    reference's actual search target is its ML detector
+    (hyperparameter_search.py trains sentence-transformer variants per
+    trial); here the ML slot is the 2-class NB quality model
+    (quality_model_scores), whose count matrix is hyperparameter-free.
+
+    ``configs`` are (alpha, threshold) pairs: alpha is the NB smoothing
+    (folded into K weight matrices from ONE distributed aggregation via
+    ``train_langid_counts``), threshold cuts the posterior — a document is
+    flagged when P(good|text) < threshold.  Labels: ``label_col`` boolean
+    (true = anomalous); the model trains on the same labels
+    (good/bad classes), so the sweep measures distillation fidelity."""
+    from .langid import N_BUCKETS, _FEATURIZERS, train_langid_counts
+
+    variants: list[float] = []
+    var_ix: dict[float, int] = {}
+    rows = []
+    for i, (alpha, thr) in enumerate(configs):
+        a = float(alpha)
+        if a not in var_ix:
+            var_ix[a] = len(variants)
+            variants.append(a)
+        rows.append((i, var_ix[a], a, float(thr)))
+    cfg = spark.createDataFrame(
+        rows, "config_id int, var_id int, alpha double, threshold double"
+    )
+
+    labeled = docs.withColumn(
+        "_cls", F.when(F.col(label_col), F.lit("bad")).otherwise(F.lit("good"))
+    )
+    langs, counts, doc_counts = train_langid_counts(
+        labeled, text_col=text_col, lang_col="_cls", feat="word_md5"
+    )
+    totals = counts.sum(axis=1, keepdims=True)
+    # K (L, B) float64 weight matrices from the one shared count matrix —
+    # exactly train_langid_distributed's fold, once per alpha
+    weights = [
+        np.log(counts + a) - np.log(totals + a * N_BUCKETS) for a in variants
+    ]
+    n_docs_arr = np.array(
+        [max(doc_counts[lang], 1) for lang in langs], dtype=np.float64
+    )
+    log_priors = np.log(n_docs_arr / n_docs_arr.sum())
+    good_ix = langs.index("good") if "good" in langs else None
+    featurize = _FEATURIZERS["word_md5"]
+    bc = spark.sparkContext.broadcast((weights, log_priors, good_ix))
+    n_var = len(variants)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _p_good(texts: pd.Series) -> pd.Series:
+        ws, lp0, gix = bc.value
+        out = []
+        for t in texts:
+            if t is None or not isinstance(t, str) or t.strip() == "":
+                out.append(None)
+                continue
+            if gix is None:
+                out.append([0.0] * n_var)
+                continue
+            b = featurize(t)
+            uniq, cnts = np.unique(b, return_counts=True)
+            fc = cnts.astype(np.float64)
+            row = []
+            for w in ws:
+                logp = lp0 + w[:, uniq] @ fc
+                logp -= logp.max()
+                post = np.exp(logp)
+                row.append(float(post[gix] / post.sum()))
+            out.append(row)
+        return pd.Series(out)
+
+    # F.round (HALF_UP, matching DuckDB round) — not Python round — so the
+    # thresholded comparison agrees with the SQL oracle at the last digit
+    long = (
+        docs.select(
+            F.col(label_col).alias("_bad"), _p_good(F.col(text_col)).alias("_s")
+        )
+        .select("_bad", F.posexplode_outer("_s").alias("var_id", "score"))
+        .select("_bad", "var_id", F.round("score", 6).alias("score"))
+    )
+    return _evaluate_long(
+        docs, long, cfg, label_col, ["alpha", "threshold"], flag_when="below"
     )
 
 

@@ -199,6 +199,28 @@ def train_langid_distributed(
     L × 16384 rows regardless of corpus size — and the driver folds them
     into the (L, B) matrix.  Bit-identical to :func:`train_langid` on the
     same corpus (asserted in tests/test_models.py)."""
+    langs, counts, doc_counts = train_langid_counts(
+        docs, text_col=text_col, lang_col=lang_col, feat=feat
+    )
+    totals = counts.sum(axis=1, keepdims=True)
+    log_probs = np.log(counts + alpha) - np.log(totals + alpha * N_BUCKETS)
+    n_docs = np.array([max(doc_counts[lang], 1) for lang in langs], dtype=np.float64)
+    log_priors = np.log(n_docs / n_docs.sum())
+    return LangIdModel(langs, log_probs.astype(dtype), log_priors.astype(dtype), feat)
+
+
+def train_langid_counts(
+    docs,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    feat: str = "char",
+) -> tuple[list[str], np.ndarray, dict[str, int]]:
+    """The distributed half of NB training: the HYPERPARAMETER-FREE
+    sufficient statistics ``(langs, (L, B) float64 count matrix, per-lang
+    doc counts)``.  ``train_langid_distributed`` folds the smoothing alpha
+    in afterwards; the hyperparameter sweep (operators/hpo.py) folds K
+    alphas into K models from this ONE aggregation instead of re-training
+    per trial."""
     featurize = _FEATURIZERS[feat]
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -223,11 +245,7 @@ def train_langid_distributed(
     counts = np.zeros((len(langs), N_BUCKETS), dtype=np.float64)
     for r in rows:
         counts[idx[r["lang"]], r["bucket"]] += r["n"]
-    totals = counts.sum(axis=1, keepdims=True)
-    log_probs = np.log(counts + alpha) - np.log(totals + alpha * N_BUCKETS)
-    n_docs = np.array([max(doc_counts[lang], 1) for lang in langs], dtype=np.float64)
-    log_priors = np.log(n_docs / n_docs.sum())
-    return LangIdModel(langs, log_probs.astype(dtype), log_priors.astype(dtype), feat)
+    return langs, counts, doc_counts
 
 
 def langid_struct(

@@ -190,6 +190,81 @@ def test_hp_parameter_analysis_valid_only():
     assert out["threshold"]["3.0"]["n_trials"] == 2
 
 
+NB_GOOD = ["the quick brown fox jumps over the lazy dog today",
+           "a quiet morning walk along the river bank is nice",
+           "fresh bread and coffee make the morning feel slow"] * 5
+NB_BAD = ["zzz qqq www zzz qqq www spam spam spam zzz"] * 4 + [""]
+
+
+def _nb_docs(spark):
+    rows = [(f"g{i}", t, False) for i, t in enumerate(NB_GOOD)] + [
+        (f"b{i}", t, True) for i, t in enumerate(NB_BAD)
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string, truth_bad boolean")
+
+
+def test_nb_quality_sweep_matches_production_scorer(spark):
+    """The alpha-variant scorer at alpha=0.5 must reproduce the production
+    quality_prob path (train_langid_distributed + langid_struct) to the
+    rounded digit, and the confusion counts must match brute force on
+    those scores."""
+    from data_quality_monitoring_spark.operators.hpo import (
+        evaluate_nb_quality_configs,
+    )
+    from data_quality_monitoring_spark.operators.langid import (
+        train_langid_distributed,
+    )
+    from data_quality_monitoring_spark.operators.quality_model import quality_prob
+
+    docs = _nb_docs(spark)
+    labeled = docs.withColumn(
+        "_cls", F.when(F.col("truth_bad"), "bad").otherwise("good")
+    )
+    model = train_langid_distributed(
+        labeled, lang_col="_cls", feat="word_md5", dtype=np.float64
+    )
+    scores = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id",
+            "truth_bad",
+            F.round(quality_prob(spark, model, F.col("text")), 6).alias("p"),
+        ).collect()
+    }
+    bad = {r["doc_id"]: r["truth_bad"] for r in docs.collect()}
+    thr = 0.5
+    tp = sum(1 for d, p in scores.items() if p is not None and p < thr and bad[d])
+    fp = sum(1 for d, p in scores.items() if p is not None and p < thr and not bad[d])
+    fn = sum(1 for d in bad if bad[d]) - tp
+    res = evaluate_nb_quality_configs(spark, docs, [(0.5, thr)]).collect()
+    r = res[0].asDict()
+    assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+    # the distinctive-token fixture must actually separate, or the
+    # parity above proves nothing
+    assert tp == 4 and fp == 0 and fn == 1  # empty bad doc is unscorable → fn
+
+
+def test_nb_quality_sweep_direction_and_alpha_sharing(spark):
+    """flag_when='below' direction: a threshold ABOVE every posterior
+    flags every scoreable doc; one below flags none.  Distinct alphas
+    share one training aggregation but produce distinct score columns."""
+    from data_quality_monitoring_spark.operators.hpo import (
+        evaluate_nb_quality_configs,
+    )
+
+    docs = _nb_docs(spark)
+    res = {
+        r["config_id"]: r.asDict()
+        for r in evaluate_nb_quality_configs(
+            spark, docs, [(0.5, 1.1), (0.5, -0.1), (0.01, 1.1)]
+        ).collect()
+    }
+    n_scoreable_bad, n_good = 4, len(NB_GOOD)
+    assert (res[0]["tp"], res[0]["fp"]) == (n_scoreable_bad, n_good)
+    assert (res[1]["tp"], res[1]["fp"], res[1]["rec"]) == (0, 0, 0.0)
+    assert (res[2]["tp"], res[2]["fp"]) == (n_scoreable_bad, n_good)
+
+
 def test_hp_search_cli_mode(spark, tmp_path):
     """--mode hp-search end to end: artifact on disk, reference shape."""
     import json

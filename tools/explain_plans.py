@@ -103,6 +103,7 @@ SHOW = [
     "fingerprint",
     "lang_heuristic",
     "hp_sweep",
+    "hp_sweep_ml",
 ]
 
 
@@ -141,6 +142,9 @@ NOTES = {
     "tokenization), broadcast O(K) config join on the corpus side, one "
     "map-side-combined groupBy(config_id); the remaining joins/window act "
     "on K=18 rows only",
+    "hp_sweep_ml": "one NB count aggregation (bounded at 2x16384 rows) "
+    "feeds K alpha weight matrices; one Arrow pass scores all alphas, "
+    "broadcast config join, one map-side-combined groupBy(config_id)",
 }
 
 
