@@ -48,6 +48,8 @@ from .perplexity import ERROR_SCORE, train_bigram_distributed
 
 __all__ = [
     "DEFAULT_SPACE",
+    "DEFAULT_ML_SPACE",
+    "hp_search_ml",
     "sample_configs",
     "bigram_variant_scores",
     "evaluate_bigram_configs",
@@ -345,14 +347,16 @@ def evaluate_nb_quality_configs(
     )
 
 
-def hp_parameter_analysis(rows: list[dict]) -> dict:
+def hp_parameter_analysis(
+    rows: list[dict], params: tuple[str, ...] = ("lam", "k", "threshold")
+) -> dict:
     """Mean R/P/F1 by parameter value over VALID trials — the reference's
     model/margin/distance performance tables (hyperparameter_search.py:304-334)
     generalized to whatever parameters the rows carry.  Driver-side over
     O(n_trials) rows (the reference's analysis is driver-side too)."""
     out: dict[str, dict[str, dict[str, float]]] = {}
     valid = [r for r in rows if r["valid"]]
-    for param in ("lam", "k", "threshold"):
+    for param in params:
         by_val: dict[str, list] = {}
         for r in valid:
             by_val.setdefault(str(r[param]), []).append(r)
@@ -384,6 +388,39 @@ def hp_search(
     trials = sample_configs(space, n_trials, seed)
     configs = [(t["lam"], t["k"], t["threshold"]) for t in trials]
     res = evaluate_bigram_configs(spark, docs, configs, **kw)
+    return _artifact(res, ("lam", "k", "threshold"), n_trials, seed)
+
+
+# the ML-slot search space: NB smoothing alpha × posterior threshold.
+# Thresholds live in the 0.9–1.0 band because the 2-class word-NB
+# posterior saturates toward 1.0 on long documents (see q_hp_sweep_ml).
+DEFAULT_ML_SPACE: dict[str, list[float]] = {
+    "alpha": [0.1, 0.25, 0.5, 1.0, 2.0],
+    "threshold": [0.9, 0.99, 0.996, 0.999, 0.9995],
+}
+
+
+def hp_search_ml(
+    spark: SparkSession,
+    docs: DataFrame,
+    space: dict[str, list] | None = None,
+    n_trials: int = 15,
+    seed: int = 0,
+    **kw,
+) -> dict:
+    """Random search over the ML-slot (NB quality-model) space — the
+    reference's actual search target, same artifact shape as
+    :func:`hp_search`; ONE count aggregation feeds every trial."""
+    space = space or DEFAULT_ML_SPACE
+    trials = sample_configs(space, n_trials, seed)
+    configs = [(t["alpha"], t["threshold"]) for t in trials]
+    res = evaluate_nb_quality_configs(spark, docs, configs, **kw)
+    return _artifact(res, ("alpha", "threshold"), n_trials, seed)
+
+
+def _artifact(res: DataFrame, params: tuple[str, ...], n_trials: int, seed: int) -> dict:
+    """Reference-shaped results dict (hyperparameter_search.py:345-383);
+    the collect is bounded by n_trials."""
     rows = sorted(
         (r.asDict() for r in res.collect()), key=lambda r: r["config_id"]
     )
@@ -391,17 +428,13 @@ def hp_search(
     return {
         "n_trials": n_trials,
         "seed": seed,
-        "best_params": (
-            {"lam": best["lam"], "k": best["k"], "threshold": best["threshold"]}
-            if best
-            else None
-        ),
+        "best_params": {p: best[p] for p in params} if best else None,
         "best_recall": best["rec"] if best else None,
         "best_precision": best["prec"] if best else None,
         "best_f1": best["f1"] if best else None,
         "all_results": [
             {
-                "params": {"lam": r["lam"], "k": r["k"], "threshold": r["threshold"]},
+                "params": {p: r[p] for p in params},
                 "recall": r["rec"],
                 "precision": r["prec"],
                 "f1": r["f1"],
@@ -409,5 +442,5 @@ def hp_search(
             }
             for r in rows
         ],
-        "performance_analysis": hp_parameter_analysis(rows),
+        "performance_analysis": hp_parameter_analysis(rows, params),
     }

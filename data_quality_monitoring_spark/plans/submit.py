@@ -294,6 +294,12 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(space, trials, seed) fully determines the search",
     )
     p.add_argument(
+        "--hp-target", choices=["llm", "ml"], default="llm",
+        help="hp-search: which detector slot to search — llm = bigram-LM "
+        "(lam/k/threshold), ml = NB quality model (alpha/threshold, the "
+        "reference's actual search target)",
+    )
+    p.add_argument(
         "--min-word-count", type=int, default=None,
         help="llm-train: floor on word counts before the per-language "
         "top-k vocab window — prunes the hapax tail off the sort task "
@@ -794,7 +800,7 @@ def run_hp_search(spark: SparkSession, args: argparse.Namespace) -> dict:
 
     from pyspark.sql import functions as F
 
-    from ..operators.hpo import hp_search
+    from ..operators.hpo import hp_search, hp_search_ml
     from ..operators.injection import inject_column
 
     pages = spark.read.parquet(args.input)
@@ -807,14 +813,20 @@ def run_hp_search(spark: SparkSession, args: argparse.Namespace) -> dict:
         .withColumn("text", F.coalesce(F.col("_inj.corrupted"), F.col("text")))
         .drop("_inj")
     )
-    report = hp_search(
-        spark,
-        docs,
-        n_trials=args.hp_trials,
-        seed=args.hp_seed,
-        # the LM must model CLEAN text; corrupted rows stay out of training
-        train_filter=~F.col("truth_bad"),
-    )
+    if getattr(args, "hp_target", "llm") == "ml":
+        # NB quality model trains ON the injection labels (good/bad classes)
+        report = hp_search_ml(
+            spark, docs, n_trials=args.hp_trials, seed=args.hp_seed
+        )
+    else:
+        report = hp_search(
+            spark,
+            docs,
+            n_trials=args.hp_trials,
+            seed=args.hp_seed,
+            # the LM must model CLEAN text; corrupted rows stay out of training
+            train_filter=~F.col("truth_bad"),
+        )
     Path(args.output).mkdir(parents=True, exist_ok=True)
     Path(args.output, "hp_search_results.json").write_text(
         json.dumps(report, indent=1)

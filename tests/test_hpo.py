@@ -283,3 +283,14 @@ def test_hp_search_cli_mode(spark, tmp_path):
     on_disk = json.loads((tmp_path / "out" / "hp_search_results.json").read_text())
     assert on_disk == report
     assert len(report["all_results"]) == 4
+    assert set(report["all_results"][0]["params"]) == {"lam", "k", "threshold"}
+    # the ML-slot target searches the NB (alpha, threshold) space instead
+    args_ml = build_args(
+        ["--input", in_dir, "--output", str(tmp_path / "out_ml"),
+         "--mode", "hp-search", "--hp-trials", "4", "--hp-seed", "1",
+         "--hp-target", "ml", "--intensity", "0.4"]
+    )
+    report_ml = _MODES["hp-search"](spark, args_ml)
+    assert set(report_ml["all_results"][0]["params"]) == {"alpha", "threshold"}
+    assert set(report_ml["performance_analysis"]) == {"alpha", "threshold"}
+    assert len(report_ml["all_results"]) == 4
