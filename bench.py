@@ -77,6 +77,7 @@ HEADLINE = [
     "gopher_repetition",  # full Gopher repetition family, 1 Arrow pass (round 4)
     "hp_sweep",  # 18-config hyperparameter sweep, train-once one-pass (round 5)
     "hp_sweep_ml",  # ML-slot (NB alpha) sweep, shared count aggregation (round 5)
+    "contamination_stats",  # PaLM-style per-doc eval-overlap audit (round 5)
 ]
 
 

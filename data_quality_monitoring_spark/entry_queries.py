@@ -524,6 +524,47 @@ FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
 """
 
 
+def q_contamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination AUDIT (dedup.contamination_stats): the reporting
+    complement of q_decontamination — per doc, the FRACTION of its
+    distinct 5-word shingles found in the doc_id < 10 eval set, plus the
+    PaLM-style ``dirty`` verdict at frac ≥ 0.2.  Eval docs self-match at
+    frac 1.0; near-dup family members land in between — the threshold
+    splits all three regimes on this corpus.  One corpus pass: broadcast
+    eval shingles, LEFT-join marker, one map-side-combined groupBy."""
+    from .operators.dedup import contamination_stats
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10)
+    return contamination_stats(d, bench, "doc_id", k=5, frac_threshold=0.2)
+
+
+SQL_CONTAMINATION_STATS = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_SQL.format(c="text")} AS words FROM documents
+), shl AS (
+  SELECT doc_id, {_SHINGLES5_SQL} AS ss FROM t
+), sh AS (
+  SELECT doc_id, unnest(ss) AS s FROM shl
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < 10
+), hits AS (
+  SELECT doc_id, count(*) AS n FROM sh JOIN bench USING (s) GROUP BY doc_id
+), frac AS (
+  SELECT shl.doc_id,
+         len(ss)::BIGINT AS n_shingles,
+         coalesce(hits.n, 0)::BIGINT AS n_contaminated,
+         CASE WHEN len(ss) > 0
+              THEN round(coalesce(hits.n, 0) / len(ss), 6)
+              ELSE 0.0 END AS contamination_frac
+  FROM shl LEFT JOIN hits ON shl.doc_id = hits.doc_id
+)
+SELECT doc_id, n_shingles, n_contaminated, contamination_frac,
+       contamination_frac >= 0.2 AS dirty
+FROM frac
+"""
+
+
 BLOOM_N_BITS = 1 << 16
 BLOOM_N_HASHES = 4
 
@@ -4295,6 +4336,7 @@ QUERIES = {
     # first driver row
     "hp_sweep": q_hp_sweep,
     "hp_sweep_ml": q_hp_sweep_ml,
+    "contamination_stats": q_contamination_stats,
     "llm_tier_verdict": q_llm_tier_verdict,
     "pipeline_verdict": q_pipeline_verdict,
     "pipeline_verdict_full": q_pipeline_verdict_full,
@@ -4365,6 +4407,7 @@ ORACLES = {
     "normalize_unicode": SQL_NORMALIZE_UNICODE,
     "decontamination": SQL_DECONTAMINATION,
     "decontamination_bloom": SQL_DECONTAMINATION_BLOOM,
+    "contamination_stats": SQL_CONTAMINATION_STATS,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "centroid_similarity": SQL_CENTROID_SIMILARITY,
     "token_stats": SQL_TOKEN_STATS,

@@ -538,6 +538,62 @@ def decontaminate(
     )
 
 
+def contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    key: str,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    k: int = 8,
+    frac_threshold: float = 0.7,
+) -> DataFrame:
+    """Per-document contamination AUDIT — the reporting complement of
+    :func:`decontaminate`: instead of only counting shared shingles, report
+    what FRACTION of each document's distinct ``k``-word shingles appears
+    in the eval set, plus a ``dirty`` verdict at ``frac_threshold`` (the
+    PaLM/GPT-3-style "doc is contaminated when ≥X% of its n-grams overlap"
+    criterion, applied over distinct shingles).
+
+    One corpus pass: explode distinct shingles once, LEFT-join the
+    broadcast eval shingle set with a hit marker, and fold totals and hits
+    in a single map-side-combined groupBy — the corpus side never
+    shuffles on shingles, only on ``key`` with one row per (task, doc)
+    partial.  Shingle-less docs (< k words) report (0, 0, 0.0, false).
+
+    Returns (key, n_shingles, n_contaminated, contamination_frac, dirty);
+    the fraction is rounded to 6 (the contract grid)."""
+    bench = (
+        benchmark.select(
+            F.explode(shingle_column(F.col(bench_text_col), k)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    d = docs.select(
+        F.col(key),
+        F.explode_outer(shingle_column(F.col(text_col), k)).alias("shingle"),
+    )
+    stats = (
+        d.join(F.broadcast(bench), "shingle", "left")
+        .groupBy(key)
+        .agg(
+            F.count("shingle").alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+    ).otherwise(F.lit(0.0))
+    return stats.select(
+        key,
+        "n_shingles",
+        "n_contaminated",
+        frac.alias("contamination_frac"),
+        (frac >= F.lit(frac_threshold)).alias("dirty"),
+    )
+
+
 def _bloom_positions(shingle: Column, n_bits: int, n_hashes: int) -> list[Column]:
     """``n_hashes`` deterministic bit positions for one shingle: the first 8
     hex chars of md5(salt‖shingle) as an integer, mod ``n_bits`` — the same

@@ -133,6 +133,35 @@ def test_decontaminate(spark):
     assert out[2] == 0
 
 
+def test_contamination_stats(spark):
+    """Per-doc shingle-overlap fractions are exact, the dirty verdict cuts
+    at frac_threshold, and shingle-less docs report (0, 0, 0.0, False)."""
+    bench_text = "a b c d e f g h"  # 8 words → 4 distinct 5-shingles
+    corpus = [
+        (1, bench_text),  # all 4 shingles shared → frac 1.0
+        (2, "a b c d e x y z"),  # shingles: abcde + 3 unshared → frac 0.25
+        (3, "p q r s t u v w"),  # 4 shingles, none shared → frac 0.0
+        (4, "too few words"),  # < 5 words → no shingles
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    bench = spark.createDataFrame([(99, bench_text)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in D.contamination_stats(
+            docs, bench, "doc_id", k=5, frac_threshold=0.25
+        ).collect()
+    }
+    assert len(out) == 4
+    assert (out[1]["n_shingles"], out[1]["n_contaminated"]) == (4, 4)
+    assert out[1]["contamination_frac"] == 1.0 and out[1]["dirty"]
+    assert (out[2]["n_shingles"], out[2]["n_contaminated"]) == (4, 1)
+    assert out[2]["contamination_frac"] == 0.25 and out[2]["dirty"]  # >= cut
+    assert (out[3]["n_shingles"], out[3]["n_contaminated"]) == (4, 0)
+    assert out[3]["contamination_frac"] == 0.0 and not out[3]["dirty"]
+    assert (out[4]["n_shingles"], out[4]["n_contaminated"]) == (0, 0)
+    assert out[4]["contamination_frac"] == 0.0 and not out[4]["dirty"]
+
+
 def test_decontaminate_bloom_no_false_negatives_and_bounded_fpr(spark):
     """The Bloom variant flags a SUPERSET of the exact variant's hits
     (no false negatives by construction), clean docs stay ~clean at the

@@ -73,6 +73,7 @@ SHOW = [
     "chunk_documents",
     "llm_tier_verdict",
     "decontamination_bloom",
+    "contamination_stats",
     "audio_features",
     "gopher_rules",
     "c4_clean",
