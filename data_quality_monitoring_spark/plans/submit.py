@@ -245,18 +245,22 @@ def build_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(operators/dedup.decontaminate)",
     )
     p.add_argument(
-        "--decontaminate-mode", choices=["exact", "fuzzy", "bloom"],
+        "--decontaminate-mode", choices=["exact", "fuzzy", "bloom", "audit"],
         default="exact",
         help="exact = shared distinct k-gram shingles (default); fuzzy = "
         "MinHash-LSH candidates + shingle-Jaccard verify — catches "
         "paraphrased eval leakage (operators/dedup.fuzzy_decontaminate); "
         "bloom = same k-gram test through a fixed-size Bloom filter — the "
         "scale form when the eval suite itself is too big to broadcast as "
-        "strings, no false negatives (operators/dedup.decontaminate_bloom)",
+        "strings, no false negatives (operators/dedup.decontaminate_bloom); "
+        "audit = drop NOTHING, write a per-doc overlap-fraction report "
+        "instead — <output>/contamination_report parquet with the "
+        "PaLM-style dirty verdict (operators/dedup.contamination_stats)",
     )
     p.add_argument(
         "--decontaminate-threshold", type=float, default=0.5,
-        help="fuzzy decontamination Jaccard bar (default 0.5)",
+        help="fuzzy decontamination Jaccard bar; in audit mode, the "
+        "overlap fraction at which a doc is reported dirty (default 0.5)",
     )
     p.add_argument(
         "--dsir-top", type=int, default=None,
@@ -564,6 +568,24 @@ def _apply_decontaminate(spark: SparkSession, docs, args, stats: dict):
         .dropDuplicates(["_bid"])
     )
     mode = getattr(args, "decontaminate_mode", "exact")
+    if mode == "audit":
+        # report, don't drop: per-doc overlap fraction + dirty verdict to
+        # <output>/contamination_report; the corpus ships unchanged
+        from pathlib import Path
+
+        from ..operators.dedup import contamination_stats
+
+        rep = contamination_stats(
+            docs, bench, "url", text_col="text_scrubbed",
+            frac_threshold=getattr(args, "decontaminate_threshold", 0.5),
+        )
+        rep.write.mode("overwrite").parquet(
+            str(Path(args.output) / "contamination_report")
+        )
+        rep = spark.read.parquet(str(Path(args.output) / "contamination_report"))
+        stats["contamination_dirty_docs"] = rep.filter(F.col("dirty")).count()
+        stats["decontaminated_docs_dropped"] = 0
+        return docs
     if mode == "fuzzy":
         from ..operators.dedup import fuzzy_decontaminate
 

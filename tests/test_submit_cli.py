@@ -638,6 +638,23 @@ def test_corpus_mode_decontaminate_and_dsir(spark, tmp_path):
     assert stats3["dsir_docs_selected"] == 30
     assert spark.read.parquet(f"{out3}/corpus").count() == 30
 
+    # audit mode: drops NOTHING, ships the per-doc overlap report instead;
+    # the eval docs are verbatim corpus members → frac 1.0 → dirty
+    out_a = str(tmp_path / "out_audit")
+    stats_a = run_corpus(spark, build_args(
+        ["--mode", "corpus", "--input", in_dir, "--output", out_a,
+         "--decontaminate", eval_dir, "--decontaminate-mode", "audit"]
+    ))
+    assert stats_a["decontaminated_docs_dropped"] == 0
+    assert stats_a["contamination_dirty_docs"] >= 1
+    assert spark.read.parquet(f"{out_a}/corpus").count() == base_stats["final"]
+    rep = spark.read.parquet(f"{out_a}/contamination_report")
+    assert set(rep.columns) == {
+        "url", "n_shingles", "n_contaminated", "contamination_frac", "dirty"
+    }
+    assert rep.filter("dirty AND contamination_frac >= 0.5").count() == \
+        stats_a["contamination_dirty_docs"]
+
 
 def test_corpus_mode_chunks_and_incremental_decontaminate(spark, tmp_path):
     from pyspark.sql import functions as F
