@@ -29,8 +29,28 @@ EN_STOPWORDS = ["the", "a", "of", "and", "to"]
 LANG_WHITELIST = ["en", "de", "nl", "fr"]
 
 
-def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+# Contract-scale parquet for these tables arrives as ONE file with ONE row
+# group, so the scan yields 1-2 splits no matter what maxPartitionBytes says
+# (a row group is the atomic split unit) — and every downstream per-row pass
+# (tokenizing, regex rules, Arrow-UDF scoring) serializes onto 1-2 cores of
+# a 32-core session.  When the scan produces fewer splits than the session's
+# parallelism, fan the rows out once right after the read: a few-MB
+# round-robin exchange that buys full-width execution for everything above
+# it (guide §2.2/§6 — scan parallelism bounds the map stage).  At real
+# scale the scan already produces >= defaultParallelism splits and no
+# exchange is inserted, so nothing here is tuned to local mode.
+_FAN_OUT_TABLES = {"documents", "embeddings", "events"}
+
+
+def _read(
+    spark: SparkSession, sf_dir: str, table: str, fan_out: bool = True
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if fan_out and table in _FAN_OUT_TABLES:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 def _words(col: Column) -> Column:
@@ -2033,16 +2053,23 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     only group-sum order differs (~1 ulp), absorbed by round(6)."""
     from .operators.linkgraph import pagerank
 
-    d = _read(spark, sf_dir, "documents").select("doc_id")
+    # fan_out=False: this query reads ONE column and does trivial per-row
+    # arithmetic — the cost is the iterative small-graph joins, where extra
+    # input partitions only add task overhead (measured 3.4 s vs 2.8 s at
+    # sf1.0 with the fan-out exchange in the lineage).
+    d = _read(spark, sf_dir, "documents", fan_out=False).select("doc_id")
     did = F.col("doc_id")
     e1 = d.select((did % 53).alias("src"), ((did * 2 + 1) % 53).alias("dst"))
     e2 = d.select((did % 53).alias("src"), ((did * 5 + 3) % 53).alias("dst"))
     edges = e1.unionAll(e2).distinct().filter(F.col("src") % 11 != 0)
-    # checkpoint_interval=5: all five steps ride ONE lazy lineage, one
-    # materialization — identical math (pagerank docstring), but the 53-host
-    # fixture's wall was ~85% job-scheduling overhead at interval=1
-    # (BENCH.md round-3 plan audit: 21 s → dominated by 5 eager jobs).
-    pr = pagerank(edges, n_iter=5, checkpoint_interval=5)
+    # checkpoint_interval=1 (round-6 re-measurement): since the r5
+    # dangling-mass rework each iteration embeds a broadcast subplan, so
+    # at interval=5 the ONE unrolled lazy plan nests five of them, each
+    # carrying the whole iteration prefix — AQE planning over that tree
+    # dominated the wall (25-32 s at sf1.0).  Materializing every step
+    # keeps each iteration's plan shallow: 2.8 s at sf1.0 (guide §3.3 —
+    # "planning time itself can become the bottleneck"; identical math).
+    pr = pagerank(edges, n_iter=5, checkpoint_interval=1)
     return pr.select(F.col("node").alias("host_id"), F.round("rank", 6).alias("rank"))
 
 

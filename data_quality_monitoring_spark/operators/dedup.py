@@ -304,6 +304,20 @@ def simhash_near_dup_pairs(
     sim = df.select(F.col(key).alias("k"), simhash_column(F.col(text_col)).alias("sh")).filter(
         F.col("sh").isNotNull()
     )
+    # Collapse identical fingerprints FIRST (round-6 rework, guide §2.3/§8:
+    # decide with small rows).  Near-dup-dense corpora carry identical-
+    # simhash families (one sf1.0 family: 2,537 docs); the old doc-level
+    # block self-join was quadratic in FAMILY size inside every shared
+    # bucket and re-ran the Arrow fingerprint UDF on both join sides
+    # (85 s at sf1.0).  Here the UDF runs ONCE (the family table is
+    # materialized — ~16 B per distinct fingerprint), the block self-join
+    # runs over DISTINCT fingerprints only, and doc pairs are expanded
+    # from the family member lists at the end — output-linear work.
+    fams = (
+        sim.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("k")).alias("ks"), F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     bits_per = SIMHASH_BITS // n_blocks
     blocks = [
         F.shiftrightunsigned(F.col("sh"), i * bits_per)
@@ -311,39 +325,69 @@ def simhash_near_dup_pairs(
         .alias(f"blk{i}")
         for i in range(n_blocks)
     ]
-    blocked = sim.select("k", "sh", *blocks)
+    blocked = fams.select("sh", "n", *blocks)
     stack_expr = ", ".join(f"{i}, blk{i}" for i in range(n_blocks))
     buckets = blocked.select(
-        "k", "sh", F.expr(f"stack({n_blocks}, {stack_expr}) as (block, val)")
+        "sh", "n", F.expr(f"stack({n_blocks}, {stack_expr}) as (block, val)")
     )
+    intra_src = fams
     if max_bucket is not None:
+        # the cap counts DOCS per (block, val) bucket — identical semantics
+        # to the old doc-level guard: a fingerprint family drops out of a
+        # hot bucket wholesale, and same-fingerprint pairs survive only if
+        # the family still shares at least one non-hot bucket
         hot = (
             buckets.groupBy("block", "val")
-            .agg(F.count("*").alias("_n"))
+            .agg(F.sum("n").alias("_n"))
             .filter(F.col("_n") > max_bucket)
             .select("block", "val")
         )
         buckets = buckets.join(hot, ["block", "val"], "left_anti")
+        intra_src = fams.join(buckets.select("sh").distinct(), "sh", "left_semi")
+    # hamming-0 pairs: all (a < b) combinations within each fingerprint
+    # family — two explodes with a fan-out exchange between them so one
+    # huge family cannot pin the expansion to a single task
+    exp1 = (
+        intra_src.filter(F.col("n") > 1)
+        .select("ks", F.posexplode("ks").alias("_i", "a"))
+        .repartition(F.col("a"))
+    )
+    intra = exp1.select(
+        "a", F.explode(F.slice("ks", F.col("_i") + 2, F.size("ks"))).alias("b")
+    ).select("a", "b", F.lit(0).alias("hamming"))
+    # cross-family candidates: block equi-join over DISTINCT fingerprints
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.k") < F.col("b.k")),
+            & (F.col("a.sh") < F.col("b.sh")),
         )
-        .select(
-            F.col("a.k").alias("a"),
-            F.col("b.k").alias("b"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
-        )
+        .select(F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"))
         .distinct()
     )
     hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
-    return cand.withColumn("hamming", hamming).filter(
+    verified = cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
-    ).select("a", "b", "hamming")
+    )
+    # expand verified fingerprint pairs to doc pairs (output-linear):
+    # explode side A, fan out, then explode side B
+    ka = fams.select(F.col("sh").alias("sha"), F.col("ks").alias("_ka"))
+    kb = fams.select(F.col("sh").alias("shb"), F.col("ks").alias("_kb"))
+    inter = (
+        verified.join(ka, "sha")
+        .join(kb, "shb")
+        .select("hamming", "_kb", F.explode("_ka").alias("x"))
+        .repartition(F.col("x"))
+        .select("hamming", "x", F.explode("_kb").alias("y"))
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            "hamming",
+        )
+    )
+    return intra.unionAll(inter)
 
 
 def embedding_near_dup_pairs(
@@ -351,8 +395,8 @@ def embedding_near_dup_pairs(
     key: str,
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    n_tables: int = 32,
-    n_planes: int = 12,
+    n_tables: int = 64,
+    n_planes: int = 20,
     seed: int = 7,
     round_to: int = 6,
     max_bucket: int | None = None,
@@ -364,15 +408,15 @@ def embedding_near_dup_pairs(
     cos 0.9 with 8 planes that is ~7%, useless.  The AND-OR construction
     fixes it: ``n_tables`` independent tables of ``n_planes`` hyperplanes
     each; a pair is a candidate if it collides in ANY table, so recall is
-    1−(1−p^n_planes)^n_tables with p = 1−θ/π.  Defaults (32 tables × 12
-    planes) give recall 0.996 at cos 0.9 / 0.99997 at cos 0.95, while an
-    uncorrelated pair (p≈0.5) collides with prob 1−(1−2⁻¹²)³² ≈ 0.008 —
-    the earlier 8×4 default had the same recall but a 0.40 random-pair
-    candidate rate, i.e. ~N²/5 verify pairs: measured 9.3 s → 1 s on the
-    sf0.1 contract query, and the gap grows quadratically with corpus
-    size.  Tune n_planes up as the corpus (or its typical inter-doc
-    cosine) grows — each extra plane halves the random-collision rate per
-    table.
+    1−(1−p^n_planes)^n_tables with p = 1−θ/π.  Defaults (64 tables × 20
+    planes, round 6 — was 32 × 12): recall per pair at cos 0.95 is
+    1−(1−p²⁰)⁶⁴ ≈ 1−2·10⁻⁶, and the candidate rate for a mildly
+    correlated pair (cos ≈ 0.3, p ≈ 0.6) drops from 32·0.6¹² ≈ 0.070 to
+    64·0.6²⁰ ≈ 0.0023 — measured 2.36 M → 37 k verify pairs on the
+    20k-vector sf1.0 contract table (the verify join was the scale term:
+    candidate volume grows quadratically with corpus size).  Tune
+    n_planes up as the corpus (or its typical inter-doc cosine) grows —
+    each extra plane halves the random-collision rate per table.
 
     All table buckets are computed in ONE vectorized Arrow UDF pass
     (batch matrix multiply), posexploded to (table, bucket) rows, and
@@ -392,19 +436,30 @@ def embedding_near_dup_pairs(
     dim = int(first["d"])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables * n_planes, dim)).astype("float64")
-    weights = (1 << np.arange(n_planes, dtype=np.int64))[None, None, :]
+    w_vec = 1 << np.arange(n_planes, dtype=np.int64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
-        mat = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
-        signs = (mat @ planes.T > 0).reshape(len(mat), n_tables, n_planes)
-        packed = (signs * weights).sum(axis=2)  # (batch, n_tables)
+        # vstack is one page-copy over the Arrow-backed row arrays (the
+        # old per-row asarray loop was the batch's Python hot spot), and
+        # the bit-pack is a (rows·tables, planes) @ (planes,) matvec
+        # instead of materializing a (rows, tables, planes) int64 cube
+        mat = np.vstack(vecs.to_numpy())
+        signs = (mat @ planes.T > 0).astype(np.int64).reshape(-1, n_planes)
+        packed = (signs @ w_vec).reshape(len(mat), n_tables)
         return pd.Series(list(packed))
 
     with_b = df.select(F.col(key).alias("k"), F.col(vec_col).alias("v")).withColumn(
         "bkts", buckets(F.col("v"))
     )
-    tabled = with_b.select("k", F.posexplode("bkts").alias("tbl", "bkt"))
+    # materialize the (key, table, bucket) rows once: the self-join below
+    # consumes this subtree on BOTH sides (and the hot-bucket aggregate a
+    # third time when capped), and without materialization each side
+    # re-runs the Arrow bucket UDF over every vector (guide §1.2 — don't
+    # compute things twice).  ~24 B per (doc, table) row.
+    tabled = with_b.select("k", F.posexplode("bkts").alias("tbl", "bkt")).localCheckpoint(
+        eager=True
+    )
     if max_bucket is not None:
         hot = (
             tabled.groupBy("tbl", "bkt")
@@ -425,9 +480,12 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     # verify on candidates only: join the (few) candidate pairs back to the
-    # vectors rather than carrying 2 vectors through the distinct
-    va = with_b.select(F.col("k").alias("ka"), F.col("v").alias("va"))
-    vb = with_b.select(F.col("k").alias("kb"), F.col("v").alias("vb"))
+    # vectors rather than carrying 2 vectors through the distinct.  Taken
+    # from the RAW frame, not with_b — the verify sides need no buckets,
+    # and deriving them from with_b would drag the Arrow UDF back into
+    # both join lineages.
+    va = df.select(F.col(key).alias("ka"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(key).alias("kb"), F.col(vec_col).alias("vb"))
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

