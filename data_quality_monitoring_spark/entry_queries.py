@@ -39,7 +39,13 @@ LANG_WHITELIST = ["en", "de", "nl", "fr"]
 # it (guide §2.2/§6 — scan parallelism bounds the map stage).  At real
 # scale the scan already produces >= defaultParallelism splits and no
 # exchange is inserted, so nothing here is tuned to local mode.
-_FAN_OUT_TABLES = {"documents", "embeddings", "events"}
+#
+# "events" is deliberately NOT fanned out: its queries are one shuffle over
+# trivial per-row expressions, and the extra exchange only added task
+# overhead (A/B at sf1.0: events_hourly 1.73 s with fan-out, 0.39 s
+# without).  Individual queries whose wall is iterative small-graph work
+# pass fan_out=False for the same measured reason.
+_FAN_OUT_TABLES = {"documents", "embeddings"}
 
 
 def _read(
@@ -424,7 +430,11 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle; on the contract data max df = 7, so the capped answer
     equals the uncapped one.  Skew-bound test: tests/test_dedup.py
     test_jaccard_df_cap_bounds_skew."""
-    pairs = _jaccard_pairs(_read(spark, sf_dir, "documents"))
+    # fan_out=False: the shingle explode below is persisted (so the fan-out
+    # exchange buys one pass at most) and the wall is the pair self-join +
+    # small-key aggregation, where extra input partitions only add task
+    # overhead (A/B at sf1.0: 5.8 s with fan-out, 1.25 s without)
+    pairs = _jaccard_pairs(_read(spark, sf_dir, "documents", fan_out=False))
     both = pairs.select(F.col("da").alias("doc_id")).unionAll(pairs.select(F.col("db").alias("doc_id")))
     return both.groupBy("doc_id").agg(F.count("*").alias("n_similar"))
 
@@ -713,7 +723,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the component), cluster size, and the keep/drop canonical flag."""
     from .operators.dedup import connected_components
 
-    pairs = _jaccard_pairs(_read(spark, sf_dir, "documents"))
+    # fan_out=False: iterative pointer-jump joins on the (small) pair graph
+    # dominate; see q_dedup_jaccard (A/B at sf1.0: 8.5 s -> 2.6 s)
+    pairs = _jaccard_pairs(_read(spark, sf_dir, "documents", fan_out=False))
     comp = connected_components(pairs, "da", "db")
     cs = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return comp.join(cs, "component").select(
@@ -782,7 +794,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (operators/dedup.component_keep_best)."""
     from .operators.dedup import component_keep_best, connected_components
 
-    d = _read(spark, sf_dir, "documents")
+    # fan_out=False: same iterative small-graph profile as q_dedup_clusters
+    # (A/B at sf1.0: 8.2 s with fan-out, 3.5 s without)
+    d = _read(spark, sf_dir, "documents", fan_out=False)
     pairs = _jaccard_pairs(d)
     comp = connected_components(pairs, "da", "db")
     best = component_keep_best(comp, d, "doc_id", "n_chars")
@@ -4125,7 +4139,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.similarity import semantic_dedup
 
-    e = _read(spark, sf_dir, "embeddings")
+    # fan_out=False: per-vector work is one 8-centroid dot product; the wall
+    # is the within-cell window, and the fan-out exchange only added task
+    # overhead (A/B at sf1.0: 3.9 s with fan-out, 1.65 s without)
+    e = _read(spark, sf_dir, "embeddings", fan_out=False)
     base = e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )

@@ -794,7 +794,15 @@ def fuzzy_decontaminate(
         return sig.select("_k", F.expr(stack))
 
     csh, bsh = _sh(docs, key, text_col), _sh(benchmark, bench_key, bench_text_col)
-    csig, bsig = _sig(csh), _sig(bsh)
+    # materialize the corpus signature table (round 6): it feeds the hot-
+    # bucket aggregate, the candidate join AND the set-size join — without
+    # materialization each consumer re-ran the corpus shingle explode +
+    # min-agg (the expensive stage; guide §1.2).  One row per corpus doc:
+    # n_bands md5 strings + a count.
+    csig, bsig = (
+        _sig(csh).localCheckpoint(eager=True),
+        _sig(bsh).localCheckpoint(eager=True),
+    )
     bb = _bands(bsig).withColumnRenamed("_k", "_bk")
     cb = _bands(csig)
     hot = (
@@ -809,14 +817,22 @@ def fuzzy_decontaminate(
         .select("_k", "_bk")
         .distinct()
     )
-    # verification restricted to candidate docs: |∩| via the broadcast eval
-    # shingle set keyed (bench doc, shingle); sizes ride along the sig aggs.
-    # The candidate list is the one derived relation whose size the planner
-    # cannot bound (boilerplate-heavy corpora inflate it) — pin its join to
-    # shuffle-hash so a misestimate can never become a driver-killing
-    # broadcast (observed: AQE broadcasting a multi-million-pair list on a
-    # template-saturated 50k corpus)
-    cand_sh = csh.join(cands.hint("shuffle_hash"), "_k")
+    # verification restricted to candidate docs — and the shingle explode
+    # re-runs over the candidate SUBSET only (semi-join the corpus down
+    # first), not the whole corpus: candidates are bounded by eval-family
+    # size × bands, orders of magnitude below the corpus.  |∩| via the
+    # broadcast eval shingle set keyed (bench doc, shingle); sizes ride
+    # along the sig aggs.  The candidate list is the one derived relation
+    # whose size the planner cannot bound (boilerplate-heavy corpora
+    # inflate it) — pin its join to shuffle-hash so a misestimate can
+    # never become a driver-killing broadcast (observed: AQE broadcasting
+    # a multi-million-pair list on a template-saturated 50k corpus)
+    cand_docs = docs.select(F.col(key).alias("_k"), F.col(text_col).alias("_t")).join(
+        cands.select("_k").distinct(), "_k", "left_semi"
+    )
+    cand_sh = cand_docs.select(
+        "_k", F.explode(shingle_column(F.col("_t"), k)).alias("_s")
+    ).join(cands.hint("shuffle_hash"), "_k")
     inter = (
         cand_sh.join(
             F.broadcast(bsh.withColumnRenamed("_k", "_bk")), ["_bk", "_s"]

@@ -492,44 +492,76 @@ def perplexity_buckets(
     """
     lo, hi = cuts
     key = F.coalesce(F.col(lang_col), F.lit("en")).alias("_bl")
-    nn = scored.filter(F.col(score_col).isNotNull()).select(
-        F.col(id_col), F.col(score_col), key
-    )
     if mode == "auto":
         # bounded probe: CollectLimit stops scanning once cutoff+1 scored
         # rows exist, so the mode decision costs O(rank_cutoff) rows, not a
         # full pass over the corpus (which would re-run the scoring UDF on
         # every row just to pick a strategy)
-        probe = nn.select(id_col).limit(rank_cutoff + 1).count()
+        probe = (
+            scored.filter(F.col(score_col).isNotNull())
+            .select(id_col)
+            .limit(rank_cutoff + 1)
+            .count()
+        )
         mode = "rank" if probe <= rank_cutoff else "threshold"
     if mode == "rank":
-        w = Window.partitionBy("_bl").orderBy(F.col(score_col).asc(), F.col(id_col).asc())
-        ranked = nn.select(id_col, F.percent_rank().over(w).alias("_pr"))
-        bucketed = ranked.select(
-            id_col,
-            F.when(F.col("_pr") < F.lit(lo), F.lit("head"))
-            .when(F.col("_pr") < F.lit(hi), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("ppl_bucket"),
+        # ONE window pass over the full frame (round 6): the previous form
+        # filtered non-null scores into a ranked branch and LEFT-joined it
+        # back to ``scored`` — which put the scoring lineage (an Arrow UDF
+        # pass at contract scale) on BOTH sides of a doc-id shuffle join.
+        # With null scores sorted last, row_number over (score, id) gives
+        # the non-null rows ranks 1..n_scored, so percent_rank within the
+        # scored subset is (rn-1)/(n_scored-1) computed in the same window
+        # partition — no join, no second scoring pass, one shuffle on the
+        # language key.  (score, id) is a total order because ids are
+        # unique, so row_number == rank and ties are impossible — the
+        # arithmetic is bit-identical to percent_rank over the filtered
+        # frame.
+        w = Window.partitionBy("_bl").orderBy(
+            F.col(score_col).asc_nulls_last(), F.col(id_col).asc()
+        )
+        rn = F.row_number().over(w)
+        n_scored = F.count(score_col).over(Window.partitionBy("_bl"))
+        pr = F.when(n_scored == 1, F.lit(0.0)).otherwise(
+            (rn - F.lit(1)).cast("double") / (n_scored - F.lit(1))
+        )
+        return (
+            scored.withColumn("_bl", key)
+            .withColumn(
+                "ppl_bucket",
+                F.when(F.col(score_col).isNull(), F.lit("unscored"))
+                .when(pr < F.lit(lo), F.lit("head"))
+                .when(pr < F.lit(hi), F.lit("middle"))
+                .otherwise(F.lit("tail")),
+            )
+            .drop("_bl")
         )
     elif mode == "threshold":
+        nn = scored.filter(F.col(score_col).isNotNull()).select(
+            F.col(id_col), F.col(score_col), key
+        )
         cuts_df = nn.groupBy("_bl").agg(
             F.percentile_approx(score_col, F.lit(lo)).alias("_c1"),
             F.percentile_approx(score_col, F.lit(hi)).alias("_c2"),
         )
-        bucketed = nn.join(F.broadcast(cuts_df), "_bl").select(
-            id_col,
-            F.when(F.col(score_col) <= F.col("_c1"), F.lit("head"))
-            .when(F.col(score_col) <= F.col("_c2"), F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("ppl_bucket"),
+        # two scoring passes total (the aggregate must finish before rows
+        # can be labeled); the label pass joins the O(n_languages) cuts
+        # broadcast on the language key — never on doc id, and null-score
+        # rows ride the left join straight to "unscored"
+        return (
+            scored.withColumn("_bl", key)
+            .join(F.broadcast(cuts_df), "_bl", "left")
+            .withColumn(
+                "ppl_bucket",
+                F.when(F.col(score_col).isNull(), F.lit("unscored"))
+                .when(F.col(score_col) <= F.col("_c1"), F.lit("head"))
+                .when(F.col(score_col) <= F.col("_c2"), F.lit("middle"))
+                .otherwise(F.lit("tail")),
+            )
+            .drop("_bl", "_c1", "_c2")
         )
     else:
         raise ValueError(f"unknown mode {mode!r}: use 'auto', 'rank' or 'threshold'")
-    return (
-        scored.join(bucketed, id_col, "left")
-        .withColumn("ppl_bucket", F.coalesce("ppl_bucket", F.lit("unscored")))
-    )
 
 
 BOS2 = "<s>"  # both backoff positions share the single BOS symbol

@@ -295,22 +295,24 @@ def tfidf_top_terms(
     / clustering primitive (keyword summaries, near-topic grouping,
     boilerplate diagnosis).  ``(key, term, tf, score, rank)``.
 
-    Relational shape: one token explode → per-(doc, term) counts
-    (map-side combined), a vocabulary-sized document-frequency table
-    joined back on the term key, idf = ln(N/df) with N riding a 1-row
-    broadcast (no driver action), and a per-doc window bounded by the
-    doc's own vocabulary.  Rank is computed on the ROUNDED score (ties →
-    term asc) so an independent engine agrees bit-for-bit."""
+    Relational shape (round-6 rework): one token explode → per-(doc, term)
+    counts (map-side combined), document frequency as a COUNT window over
+    the term key on that same tf table — the previous df-aggregate-plus-
+    join form re-ran the explode+tf pass on both join sides (tokenizing
+    the corpus twice) — idf = ln(N/df) with N riding a 1-row broadcast
+    (no driver action), and a per-doc window bounded by the doc's own
+    vocabulary.  Rank is computed on the ROUNDED score (ties → term asc)
+    so an independent engine agrees bit-for-bit."""
     words = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[ \t\n\r\f\x0B]+"),
         lambda x: x != "",
     )
     tokens = docs.select(F.col(key), F.explode(words).alias("term"))
     tf = tokens.groupBy(key, "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("_df"))
     n = docs.select(F.count("*").alias("_n"))
+    dfw = F.count("*").over(Window.partitionBy("term"))
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("_df", dfw)
         .crossJoin(F.broadcast(n))
         .select(
             key,
