@@ -355,21 +355,40 @@ def simhash_near_dup_pairs(
     intra = exp1.select(
         "a", F.explode(F.slice("ks", F.col("_i") + 2, F.size("ks"))).alias("b")
     ).select("a", "b", F.lit(0).alias("hamming"))
-    # cross-family candidates: block equi-join over DISTINCT fingerprints
+    # cross-family candidates: block equi-join over DISTINCT fingerprints.
+    # A pair sharing m blocks surfaces m times; instead of a .distinct()
+    # shuffle over the candidate stream, keep only the row whose matching
+    # block is the pair's FIRST shared block — every earlier block's
+    # (in)equality is a pure shift/mask expression on (sha, shb), so the
+    # dedup is a filter, not an exchange (guide §2.4).
     a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.sh") < F.col("b.sh")),
-        )
-        .select(F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"))
-        .distinct()
+    joined = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.sh") < F.col("b.sh")),
+    ).select(
+        F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"), F.col("a.block").alias("_blk")
     )
+
+    def _blk_eq(i: int):
+        mask = F.lit((1 << bits_per) - 1)
+        return (
+            F.shiftrightunsigned(F.col("sha"), i * bits_per).bitwiseAND(mask)
+            == F.shiftrightunsigned(F.col("shb"), i * bits_per).bitwiseAND(mask)
+        )
+
+    first_match = F.when(F.col("_blk") == 0, F.lit(True))
+    acc = None
+    for i in range(1, n_blocks):
+        acc = _blk_eq(i - 1) if acc is None else (acc | _blk_eq(i - 1))
+        first_match = first_match.when(F.col("_blk") == i, ~acc)
     hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
-    verified = cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
+    verified = (
+        joined.filter(first_match.otherwise(F.lit(False)))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("sha", "shb", "hamming")
     )
     # expand verified fingerprint pairs to doc pairs (output-linear):
     # explode side A, fan out, then explode side B

@@ -49,9 +49,22 @@ def pack_documents(
     each (group, shard) partition from 0.
     """
     n_tok = F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
-    out = df.withColumn("n_tokens", n_tok).filter(
-        F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0)
-    )
+    if tokens_col:
+        out = df.withColumn("n_tokens", n_tok).filter(
+            F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0)
+        )
+    else:
+        # n_tokens > 0 ⟺ the text has a char outside the whitespace class
+        # (token_count is null only for null text).  Filtering on the cheap
+        # rlike instead of the computed count matters physically: a filter
+        # on the count expression is pushed below any upstream exchange and
+        # re-evaluates the full trim+split there (round-6 plan audit:
+        # sequence_packing ran the tokenizer 3x, twice of those on the
+        # unparallelized scan side), while the rlike pushes to the scan as
+        # a cheap predicate and the tokenizer runs ONCE, post-exchange.
+        out = df.filter(F.col(text_col).rlike("[^ \t\n\r\f\x0B]")).withColumn(
+            "n_tokens", n_tok
+        )
     out = out.withColumn("shard", sample_bucket(F.col(key)) % F.lit(n_shards))
     w = (
         Window.partitionBy(*group_cols, "shard")
@@ -162,7 +175,12 @@ def chunk_documents(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"[ \t\n\r\f\x0B]+"),
         lambda x: x != "",
     )
-    d = df.select(F.col(key), words.alias("_w")).filter(F.size("_w") > 0)
+    # size(_w) > 0 ⟺ text has a non-whitespace char; the cheap rlike pushes
+    # to the scan while a filter on the split array would re-run the
+    # tokenizer below any upstream exchange (see pack_documents)
+    d = df.filter(F.col(text_col).rlike("[^ \t\n\r\f\x0B]")).select(
+        F.col(key), words.alias("_w")
+    )
     # last chunk = the largest step multiple that still contributes a word
     # beyond the previous chunk's overlap (every word covered, and no
     # trailing chunk that is a pure sub-window of its predecessor)
