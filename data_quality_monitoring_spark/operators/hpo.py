@@ -110,7 +110,13 @@ def bigram_variant_scores(
             if lm is None:
                 out.append([ERROR_SCORE] * n_var)
             else:
-                out.append(np.round(lm.nll_variants(t, lams, ks), 6).tolist())
+                # UNROUNDED: rounding happens as F.round on the exploded
+                # column (ADVICE r5) — np.round is banker's/HALF_EVEN while
+                # the DuckDB oracle's round() is HALF_UP, so a 6th-decimal
+                # tie could flip the ppl > threshold comparison between
+                # engines; evaluate_nb_quality_configs already follows the
+                # F.round convention
+                out.append(lm.nll_variants(t, lams, ks).tolist())
         return pd.Series(out)
 
     return _score(text, claimed)
@@ -169,8 +175,10 @@ def evaluate_bigram_configs(
     # The outer form needs no filter — one ArrowEvalPython node — and its
     # extra null-var_id rows (unscorable docs) drop in the inner config
     # join below, so semantics are identical.
-    long = docs.select(F.col(label_col).alias("_bad"), arr.alias("_s")).select(
-        "_bad", F.posexplode_outer("_s").alias("var_id", "score")
+    long = (
+        docs.select(F.col(label_col).alias("_bad"), arr.alias("_s"))
+        .select("_bad", F.posexplode_outer("_s").alias("var_id", "score"))
+        .withColumn("score", F.round("score", 6))  # HALF_UP, = oracle round()
     )
     return _evaluate_long(
         docs, long, cfg, label_col, ["lam", "k", "threshold"], flag_when="above"
@@ -353,7 +361,16 @@ def hp_parameter_analysis(
     """Mean R/P/F1 by parameter value over VALID trials — the reference's
     model/margin/distance performance tables (hyperparameter_search.py:304-334)
     generalized to whatever parameters the rows carry.  Driver-side over
-    O(n_trials) rows (the reference's analysis is driver-side too)."""
+    O(n_trials) rows (the reference's analysis is driver-side too).
+
+    DELIBERATE DIVERGENCE (ADVICE r5, documented rather than changed): the
+    reference's analysis additionally drops valid trials whose recall is
+    exactly 0 (``s[0] > 0`` at hyperparameter_search.py:309-334), so its
+    per-parameter means silently exclude zero-recall configurations.  Here
+    every trial that passed the precision ≥ 0.3 validity gate contributes —
+    a zero-recall valid trial is real information about that parameter
+    value, and hiding it inflates the per-value averages.  Callers needing
+    reference-exact tables can pre-filter ``rows`` on ``r["rec"] > 0``."""
     out: dict[str, dict[str, dict[str, float]]] = {}
     valid = [r for r in rows if r["valid"]]
     for param in params:

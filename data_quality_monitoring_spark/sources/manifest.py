@@ -169,11 +169,42 @@ class PartitionedSink:
                         f"another writer (pid {holder}) holds {path}; "
                         "concurrent runs on one table are serialized"
                     ) from None
-                path.unlink(missing_ok=True)  # stale (dead pid) — steal
+                # STEAL via atomic rename to a per-stealer name (ADVICE r5):
+                # the old unlink(missing_ok=True) let two racers both
+                # observe the dead pid, racer A unlink+create, then racer B
+                # unlink A's FRESH lock — two live writers.  rename succeeds
+                # for exactly ONE racer; the loser gets FileNotFoundError
+                # and loops, where it now sees the winner's live lock and
+                # raises cleanly.  Re-read immediately before the rename so
+                # a lock that already changed hands to a live holder is
+                # never renamed away.
+                try:
+                    holder2 = int(path.read_text().split()[0])
+                except FileNotFoundError:
+                    continue  # another racer already stole it — retry
+                except (OSError, ValueError, IndexError):
+                    holder2 = holder
+                if holder2 != holder:
+                    continue  # changed hands since we inspected it — retry
+                stale = path.with_name(f"{path.name}.stale.{os.getpid()}")
+                try:
+                    os.rename(path, stale)
+                except FileNotFoundError:
+                    continue  # lost the steal race — retry against winner
+                stale.unlink(missing_ok=True)
         raise ConcurrentWriteError(f"could not acquire {path}")
 
     def _release_lock(self) -> None:
-        self._lock_path().unlink(missing_ok=True)
+        # owner-verified release (ADVICE r5): an unconditional unlink could
+        # delete a lock another process legitimately acquired after ours
+        # was stolen or released on a crashed earlier attempt
+        path = self._lock_path()
+        try:
+            holder = int(path.read_text().split()[0])
+        except (OSError, ValueError, IndexError):
+            return
+        if holder == os.getpid():
+            path.unlink(missing_ok=True)
 
     # ---------------- resumable run
 

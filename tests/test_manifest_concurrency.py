@@ -142,3 +142,58 @@ def test_current_snapshot_derived_from_files(tmp_path):
     s._acquire_lock()
     assert int(s._lock_path().read_text().split()[0]) == os.getpid()
     s._release_lock()
+
+
+def test_stale_lock_steal_is_single_winner(tmp_path):
+    """Round 6 (ADVICE r5 medium): stealing a dead-pid lock goes through an
+    atomic rename to a per-stealer name, so when two processes observe the
+    same stale lock only ONE steals it — the loser's rename hits
+    FileNotFoundError, loops, sees the winner's live lock and raises
+    ConcurrentWriteError instead of deleting the winner's fresh lock."""
+    import subprocess
+
+    sink = PartitionedSink(str(tmp_path / "t"), n_buckets=4, chunk_buckets=4)
+    sink.manifest_dir.mkdir(parents=True, exist_ok=True)
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    path = sink._lock_path()
+    path.write_text(f"{dead.pid} 0.0")
+
+    # simulate the loser: the moment it tries to rename, the winner has
+    # already stolen the stale file and created its own (live) lock
+    real_rename = os.rename
+    live = subprocess.Popen(["sleep", "30"])
+    try:
+
+        def racing_rename(src, dst, *a, **kw):
+            if str(src) == str(path):
+                path.unlink()  # winner's steal...
+                path.write_text(f"{live.pid} 0.0")  # ...and fresh lock
+                os.rename = real_rename
+                raise FileNotFoundError(src)
+            return real_rename(src, dst, *a, **kw)
+
+        os.rename = racing_rename
+        with pytest.raises(ConcurrentWriteError, match=str(live.pid)):
+            sink._acquire_lock()
+        # the winner's lock survived the loser's failed steal
+        assert path.read_text().split()[0] == str(live.pid)
+    finally:
+        os.rename = real_rename
+        live.kill()
+        live.wait()
+
+
+def test_release_lock_is_owner_verified(tmp_path):
+    """Round 6 (ADVICE r5 medium): _release_lock leaves a lock held by a
+    DIFFERENT pid untouched (it is not ours to delete) and removes our
+    own."""
+    sink = PartitionedSink(str(tmp_path / "t"), n_buckets=4, chunk_buckets=4)
+    sink.manifest_dir.mkdir(parents=True, exist_ok=True)
+    path = sink._lock_path()
+    path.write_text(f"{os.getpid() + 1} 0.0")
+    sink._release_lock()
+    assert path.exists(), "someone else's lock must survive our release"
+    path.write_text(f"{os.getpid()} 0.0")
+    sink._release_lock()
+    assert not path.exists()
