@@ -3571,7 +3571,9 @@ def q_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the md5 shard gate and the per-shard row_number."""
     from .operators.packing import shuffle_shards
 
-    d = _read(spark, sf_dir, "documents").select("doc_id")
+    # fan_out=False: the operator's first move is its own shard shuffle of
+    # one 8-byte column — a fan-out exchange in front of it is pure cost
+    d = _read(spark, sf_dir, "documents", fan_out=False).select("doc_id")
     out = shuffle_shards(d, key="doc_id", n_shards=16, seed=0)
     return out.select(
         "doc_id", "shard", F.col("shard_pos").cast("long").alias("shard_pos")
@@ -4343,75 +4345,14 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 100
 QUERIES = {
     # Order matters: the driver caps its per-round battery at 50 queries,
     # so ordering ROTATES coverage round-by-round (VERDICT r3 task 3 /
-    # r4 task 3): the longest-unchecked queries go FIRST, so no query's
-    # latest green driver row is ever more than two rounds old.
+    # r4 task 3 / r5 item 1): the longest-unchecked queries go FIRST, so
+    # no query's latest green driver row is ever more than two rounds old.
     #
-    # Tier 1 (the 28 queries whose latest driver row is r3 — positions
-    # 51-78 of the r4 registry): first in line this round.
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_jaccard": q_dedup_jaccard,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_substring": q_dedup_substring,
-    "line_dedup": q_line_dedup,
-    "multifield_cells": q_multifield_cells,
-    "shuffled_shards": q_shuffled_shards,
-    "pack_texts": q_pack_texts,
-    "pack_token_ids": q_pack_token_ids,
-    "chunk_documents": q_chunk_documents,
-    "sequence_packing_bpe": q_sequence_packing_bpe,
-    "tfidf_terms": q_tfidf_terms,
-    "rule_firsthit": q_rule_firsthit,
-    "rule_fire_counts": q_rule_fire_counts,
-    "pattern_lang": q_pattern_lang,
-    "scrub_pii": q_scrub_pii,
-    "extract_text": q_extract_text,
-    "normalize_unicode": q_normalize_unicode,
-    "token_stats": q_token_stats,
-    "repetition_stats": q_repetition_stats,
-    "multimodal_meta": q_multimodal_meta,
-    "weighted_combine": q_weighted_combine,
-    "threshold_curve": q_threshold_curve,
-    "confusion_matrix": q_confusion_matrix,
-    "score_histogram": q_score_histogram,
-    "skew_salted_stats": q_skew_salted_stats,
-    "profile_value_counts": q_profile_value_counts,
-    # Tier 2 (r4-green but code-touched THIS round — gopher/c4 whitespace
-    # alignment, split symbol ratios, LM-trainer auto floors — plus the
-    # flagships): must re-verify on the new code.
-    "gopher_rules": q_gopher_rules,
-    "c4_clean": q_c4_clean,
-    "gopher_repetition": q_gopher_repetition,
-    "perplexity_scores": q_perplexity_scores,
-    "perplexity_trigram": q_perplexity_trigram,
-    "perplexity_buckets": q_perplexity_buckets,
-    # round 5: the reference's hyperparameter search, Spark-first (train
-    # once, score every variant in one Arrow pass) — new query, needs its
-    # first driver row
-    "hp_sweep": q_hp_sweep,
-    "hp_sweep_ml": q_hp_sweep_ml,
-    "contamination_stats": q_contamination_stats,
-    "llm_tier_verdict": q_llm_tier_verdict,
-    "pipeline_verdict": q_pipeline_verdict,
-    "pipeline_verdict_full": q_pipeline_verdict_full,
-    "pipeline_rules_verdict": q_pipeline_rules_verdict,
-    # Tier 2b (r4-green, highest-value re-checks to fill the 50): model
-    # scorers and the scale-distinctive dedup/selection contracts.
-    "langid_scores": q_langid_scores,
-    "quality_model_scores": q_quality_model_scores,
-    "dsir_sample": q_dsir_sample,
-    "dedup_keep_best": q_dedup_keep_best,
-    "decontamination_bloom": q_decontamination_bloom,
-    "audio_features": q_audio_features,
-    "host_pagerank": q_host_pagerank,
-    "host_quality": q_host_quality,
-    "embedding_near_dup": q_embedding_near_dup,
+    # Tier 1 (the 31 queries whose latest driver row is r4 — they sat in
+    # positions 51-81 of the r5 registry): first in line this round.
     "semantic_dedup": q_semantic_dedup,
     "centroid_similarity": q_centroid_similarity,
     "corpus_mixture": q_corpus_mixture,
-    # Tier 3 (≥51 — drops off a 50-query battery THIS round only; every
-    # entry here has a green r4 row, so it stays within the two-round
-    # freshness window and rotates to tier 1 next round).
     "dedup_exact": q_dedup_exact,
     "similarity_topk": q_similarity_topk,
     "keyword_check": q_keyword_check,
@@ -4440,6 +4381,57 @@ QUERIES = {
     "noindex_pages": q_noindex_pages,
     "fuzzy_decontamination": q_fuzzy_decontamination,
     "decontamination": q_decontamination,
+    # Tier 2: green in the r5 driver battery.
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_substring": q_dedup_substring,
+    "line_dedup": q_line_dedup,
+    "multifield_cells": q_multifield_cells,
+    "shuffled_shards": q_shuffled_shards,
+    "pack_texts": q_pack_texts,
+    "pack_token_ids": q_pack_token_ids,
+    "chunk_documents": q_chunk_documents,
+    "sequence_packing_bpe": q_sequence_packing_bpe,
+    "tfidf_terms": q_tfidf_terms,
+    "rule_firsthit": q_rule_firsthit,
+    "rule_fire_counts": q_rule_fire_counts,
+    "pattern_lang": q_pattern_lang,
+    "scrub_pii": q_scrub_pii,
+    "extract_text": q_extract_text,
+    "normalize_unicode": q_normalize_unicode,
+    "token_stats": q_token_stats,
+    "repetition_stats": q_repetition_stats,
+    "multimodal_meta": q_multimodal_meta,
+    "weighted_combine": q_weighted_combine,
+    "threshold_curve": q_threshold_curve,
+    "confusion_matrix": q_confusion_matrix,
+    "score_histogram": q_score_histogram,
+    "skew_salted_stats": q_skew_salted_stats,
+    "profile_value_counts": q_profile_value_counts,
+    "gopher_rules": q_gopher_rules,
+    "c4_clean": q_c4_clean,
+    "gopher_repetition": q_gopher_repetition,
+    "perplexity_scores": q_perplexity_scores,
+    "perplexity_trigram": q_perplexity_trigram,
+    "perplexity_buckets": q_perplexity_buckets,
+    "hp_sweep": q_hp_sweep,
+    "hp_sweep_ml": q_hp_sweep_ml,
+    "contamination_stats": q_contamination_stats,
+    "llm_tier_verdict": q_llm_tier_verdict,
+    "pipeline_verdict": q_pipeline_verdict,
+    "pipeline_verdict_full": q_pipeline_verdict_full,
+    "pipeline_rules_verdict": q_pipeline_rules_verdict,
+    "langid_scores": q_langid_scores,
+    "quality_model_scores": q_quality_model_scores,
+    "dsir_sample": q_dsir_sample,
+    "dedup_keep_best": q_dedup_keep_best,
+    "decontamination_bloom": q_decontamination_bloom,
+    "audio_features": q_audio_features,
+    "host_pagerank": q_host_pagerank,
+    "host_quality": q_host_quality,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES = {

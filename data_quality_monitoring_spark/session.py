@@ -39,6 +39,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor (Spark default 1m) is the post-shuffle
+        # analogue of the scan fan-out: on a corpus whose whole shuffle
+        # output is a few MB it coalesces every reduce stage down to a
+        # handful of tasks and serializes the post-shuffle work (measured:
+        # the 16M-row simhash pair expansion 5.9 s -> 3.6 s at sf1.0 with a
+        # 64k floor).  At production scale post-shuffle partitions are
+        # 100s of MB, so the floor is inert there — raise it via env if a
+        # deployment ever carries millions of sub-64k partitions.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
