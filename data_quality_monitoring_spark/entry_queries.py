@@ -1877,6 +1877,12 @@ def q_sequence_packing_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("lang",),
         n_shards=PACK_SHARDS,
         tokens_col="bpe_tokens",
+        # bpe_tokens > 0 ⟺ a non-whitespace char exists (NULL only for
+        # null text; every non-empty word greedy-matches ≥1 piece), so the
+        # packing filter can be this scan-cheap predicate instead of the
+        # computed count — which Catalyst would push below the fan-out
+        # exchange, re-running the Arrow tokenizer on the scan side
+        cheap_filter=F.col("text").rlike("[^ \t\n\r\f\x0B]"),
     )
     return packed.groupBy("lang", "shard", "pack_id").agg(
         F.count("*").alias("n_docs"),
@@ -3723,6 +3729,9 @@ def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("lang",),
         n_shards=PACK_SHARDS,
         tokens_col="bpe_tokens",
+        # same equivalence as q_sequence_packing_bpe: keeps the Arrow
+        # count UDF off the pre-exchange scan side
+        cheap_filter=F.col("text").rlike("[^ \t\n\r\f\x0B]"),
     )
     enc = packed.withColumn("ids", bpe_encode_ids(F.col("text"), pieces))
     return (

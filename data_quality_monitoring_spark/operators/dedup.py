@@ -105,9 +105,14 @@ def lsh_candidate_pairs(
         bands.append(F.xxhash64(F.lit(i), *cols).alias(f"b{i}"))
     banded = sig.select(key, *bands)
     stack_expr = ", ".join(f"{i}, b{i}" for i in range(n_bands))
+    # materialize the (key, band, bucket) rows ONCE: the hot-bucket
+    # aggregate and the self-join otherwise each re-run the full signature
+    # lineage (shingle explode + n_hashes min-aggregations) — 2 full sig
+    # computations on a 1M-doc corpus build.  Same narrow-row argument as
+    # the simhash bucket table below: 3 small columns × n_bands rows/doc.
     buckets = banded.select(
         key, F.expr(f"stack({n_bands}, {stack_expr}) as (band, bucket)")
-    )
+    ).localCheckpoint(eager=True)
     if max_bucket is not None:
         hot = (
             buckets.groupBy("band", "bucket")

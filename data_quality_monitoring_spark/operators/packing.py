@@ -25,7 +25,7 @@ assignment is invariant to input partitioning and retries (tested).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampling import sample_bucket
@@ -40,6 +40,7 @@ def pack_documents(
     group_cols: tuple[str, ...] = (),
     n_shards: int = 16,
     tokens_col: str | None = None,
+    cheap_filter: Column | None = None,
 ) -> DataFrame:
     """Add ``shard``, ``n_tokens``, ``pack_id`` (and pass through
     ``group_cols``) to every row with a non-empty token count.
@@ -47,12 +48,22 @@ def pack_documents(
     ``tokens_col`` reuses a precomputed count column; otherwise whitespace
     ``token_count(text_col)`` is used.  ``pack_id`` numbers packs within
     each (group, shard) partition from 0.
+
+    ``cheap_filter`` (only with ``tokens_col``): a scan-cheap predicate the
+    caller GUARANTEES is equivalent to ``n_tokens IS NOT NULL AND
+    n_tokens > 0`` for its token column.  Without it the filter references
+    the computed count, and Catalyst pushes that predicate below any
+    upstream exchange — re-running the tokenizer on the pre-exchange side
+    (the round-6 plan trap documented below for the whitespace path).
     """
     n_tok = F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
     if tokens_col:
-        out = df.withColumn("n_tokens", n_tok).filter(
-            F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0)
-        )
+        if cheap_filter is not None:
+            out = df.filter(cheap_filter).withColumn("n_tokens", n_tok)
+        else:
+            out = df.withColumn("n_tokens", n_tok).filter(
+                F.col("n_tokens").isNotNull() & (F.col("n_tokens") > 0)
+            )
     else:
         # n_tokens > 0 ⟺ the text has a char outside the whitespace class
         # (token_count is null only for null text).  Filtering on the cheap

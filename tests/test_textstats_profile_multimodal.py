@@ -481,3 +481,34 @@ def test_gopher_repetition_full_family(spark):
     # ("dup line\ndup line\nunique one", "para", "para")
     assert rows[3]["dup_line_frac"] == pytest.approx(4 / 5)
     assert rows[3]["dup_para_frac"] == pytest.approx(2 / 3)
+
+
+def test_gopher_repetition_vectorized_kernel_edges(spark):
+    """Edge cases of the r6 vectorized n-gram kernel: top-gram tie-break
+    (count tie resolved by CHAR length), single-gram docs (L == n), and
+    multi-block coverage with adjacent covered runs — each checked against
+    hand-computed values of the documented semantics."""
+    from data_quality_monitoring_spark.operators.textstats import gopher_repetition
+
+    # doc 1: 2-gram tie at count 2 — "aa bb" (len 5) vs "cc dddd" (len 7);
+    # tie-break picks the LONGER joined string → top = 2*7/len
+    t1 = "aa bb cc dddd aa bb cc dddd"
+    # doc 2: exactly five words — the lone 5-gram has count 1 → dup5 = 0.0,
+    # 6..10-grams impossible → None
+    t2 = "v w x y z"
+    # doc 3: two disjoint repeated 5-gram families, adjacent coverage runs
+    # merge: "p q r s t" ×2 and "m n o u k" ×2 back-to-back
+    t3 = "p q r s t m n o u k p q r s t m n o u k"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition(df, "doc_id").collect()}
+    assert rows[1]["top_2gram_char_frac"] == pytest.approx(2 * 7 / len(t1), abs=0)
+    assert rows[2]["dup_5gram_char_frac"] == 0.0
+    assert rows[2]["dup_6gram_char_frac"] is None
+    assert rows[2]["dup_10gram_char_frac"] is None
+    # every word position of t3 is covered at n=5 (both families repeat);
+    # chars = 20 single-char words + 19 internal single spaces
+    assert rows[3]["dup_5gram_char_frac"] == pytest.approx((20 + 19) / len(t3), abs=0)
+    # at n=10 the repeated 10-gram "p..k" covers everything too
+    assert rows[3]["dup_10gram_char_frac"] == pytest.approx((20 + 19) / len(t3), abs=0)
