@@ -204,7 +204,13 @@ def main() -> None:
         "Note: queries containing a shuffle are wrapped in AdaptiveSparkPlan;\n"
         "AQE only annotates codegen ids at execution time, so a span count of\n"
         "0 on those rows means 'deferred by AQE', not 'interpreted'. Shuffle-\n"
-        "free plans (the pipeline hot path) show their spans directly.\n",
+        "free plans (the pipeline hot path) show their spans directly.\n\n"
+        "Round 6: most scans are followed by one round-robin Exchange — the\n"
+        "conditional scan fan-out (`_read`, OPTIMIZATION_r06.md) that widens\n"
+        "the 1-2-split contract parquet to the session parallelism; it is a\n"
+        "no-op at any scale where the scan already has enough splits, so a\n"
+        "'+1 Exchange' vs the r5 snapshot is that repartition, not a new\n"
+        "keyed shuffle.\n",
     ]
     for name in SHOW:
         df = QUERIES[name](spark, sf)
